@@ -14,10 +14,15 @@ byte-for-byte identical:
   (adds wrap, subtractions saturate at 0, all in u16)
 
 The horizontal ("left") gap dependency is resolved by the same log-shift
-max-plus scan the reference uses, chunked into LANES-wide pieces. The scan's
-result is asserted lane-width-independent by the reference's backend parity
-tests (src/smith_waterman/backend/tests/parity.rs); our own tests re-verify
-this empirically across LANES in {8, 16, 32, 64}.
+max-plus scan the reference uses, chunked into LANES-wide pieces. The
+reference asserts lane-width independence empirically
+(src/smith_waterman/backend/tests/parity.rs), but rare cross-chunk gap
+geometries DO diverge between narrow and wide lane counts (e.g. needle
+"LPy" over "Ny/UwVXLl1BPYh/c/Oq:74s8q,uWy": 8-lane chunks give 20, wider
+give 21; the compiled reference on AVX-512 hardware gives 21). We therefore
+default to a single full-width chunk (next power of two >= haystack length),
+which matches the widest-SIMD behavior of the reference on real hardware and
+is differentially validated against the compiled reference binary.
 
 Everything here is single-pair and intentionally simple — the vectorized
 batch kernel in frizbee_spark.kernel is parity-tested against this oracle.
@@ -252,7 +257,7 @@ def score_haystack(
     case_sensitive: bool = False,
     include_prefix: bool = True,
     unicode: bool = False,
-    lanes: int = 8,
+    lanes: int | None = None,
     keep_matrix: bool = False,
 ) -> SWResult:
     """Score one haystack against one needle with frizbee's SW recurrence.
@@ -264,6 +269,13 @@ def score_haystack(
     scoring = scoring or Scoring()
     needle_b = needle.encode("utf-8") if isinstance(needle, str) else needle
     hay_b = haystack.encode("utf-8") if isinstance(haystack, str) else haystack
+    if lanes is None:
+        # Full-width scan: matches the widest-available SIMD backend, which is
+        # what the reference runs on real hardware (verified differentially
+        # against the compiled reference — see tests/test_reference_differential.py)
+        lanes = 8
+        while lanes < len(hay_b):
+            lanes *= 2
 
     if len(hay_b) > MAX_HAYSTACK_LEN:
         res = match_greedy(needle_b, hay_b, scoring, case_sensitive, include_prefix)
@@ -686,7 +698,7 @@ def score_haystack_indices(
     haystack_start_pos: int = 0,
     max_typos: int | None = None,
     unicode: bool = False,
-    lanes: int = 8,
+    lanes: int | None = None,
 ) -> tuple[int, list[int]]:
     """Score + matched haystack byte offsets in reverse order
     (smith_waterman/algo/mod.rs:49-153)."""
@@ -741,7 +753,7 @@ def has_alignment_path(
     scoring: Scoring | None = None,
     case_sensitive: bool = False,
     unicode: bool = False,
-    lanes: int = 8,
+    lanes: int | None = None,
 ) -> bool:
     """True when an alignment within the typo budget exists
     (alignment.rs:25-35). Test-surface equivalent of the reference's

@@ -1,0 +1,404 @@
+"""Vectorized batch scoring kernel: numpy across the batch axis.
+
+This is the engine that runs inside Arrow-batched pandas UDFs on Spark
+executors — no per-row Python in the hot path (BASELINE.json input_hint).
+Semantics are parity-tested against frizbee_spark.core.oracle, which is the
+byte-for-byte transcription of the reference recurrence
+(/root/reference/src/smith_waterman/algo/ascii.rs:10-158).
+
+Shape strategy: haystacks are grouped into power-of-two length buckets so the
+padded DP matrix (batch x padded_len) stays dense; the log-shift horizontal
+gap scan runs on the full padded width (score-equivalent to the reference's
+chunked scan — asserted lane-width-independent by the reference's backend
+parity tests and re-verified in tests/test_kernel_parity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .core.config import MAX_HAYSTACK_LEN, Config, Scoring, U16_MAX
+from .core.matcher import Matcher
+from .core.oracle import case_needle, match_greedy
+from .core.pattern import Pattern
+
+_U16 = np.uint16
+
+
+def _ssub(a: np.ndarray, b) -> np.ndarray:
+    b_arr = np.asarray(b, dtype=_U16)
+    return np.where(a >= b_arr, a - b_arr, np.uint16(0)).astype(_U16)
+
+
+@dataclass
+class BatchResult:
+    """Columnar match results for one batch of haystacks."""
+
+    matched: np.ndarray  # bool  (N,)
+    score: np.ndarray  # uint16 (N,)
+    exact: np.ndarray  # bool  (N,)
+
+
+class AsciiKernel:
+    """Compiled single-needle kernel for the ASCII fuzzy path.
+
+    Vectorizes the reference's per-row pipeline (matcher/algo.rs:78-103):
+    length filter -> ordered-containment prefilter -> window trim -> SW score
+    -> exact bonus, across a batch of haystacks at once.
+    """
+
+    def __init__(self, needle: str, config: Config):
+        self.config = config
+        self.scoring = config.scoring
+        self.needle = needle
+        self.needle_bytes = needle.encode("utf-8")
+        self.case_sensitive = config.casing.respects_case_for(needle)
+        pairs = case_needle(self.needle_bytes, self.case_sensitive)
+        self.n_orig = np.array([p[0] for p in pairs], dtype=np.uint8)
+        self.n_flip = np.array([p[1] for p in pairs], dtype=np.uint8)
+        self.rows = len(pairs)
+        self.max_typos = config.max_typos
+        self.min_len = (
+            max(0, len(needle) - config.max_typos) if config.max_typos is not None else 0
+        )
+        scoring = config.scoring
+        scoring.guard_against_score_overflow(
+            len(self.needle_bytes),
+            scoring.max_per_char_bonus(),
+            scoring.max_one_time_bonus(),
+        )
+
+    # ---- prefilter over a padded byte matrix ----
+
+    def _prefilter_windows(
+        self, hay: np.ndarray, lengths: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized membership + windows for one padded batch.
+
+        hay: (N, C) uint8 zero-padded; lengths: (N,). Returns
+        (matched bool, start int32, end int32). Semantics per
+        frizbee_spark.core.prefilter (reference prefilter/algo/*)."""
+        n_hay, width = hay.shape
+        k = self.max_typos
+        n = self.rows
+        col = np.arange(width, dtype=np.int32)
+        valid = col[None, :] < lengths[:, None]
+
+        def eq(i: int) -> np.ndarray:
+            return ((hay == self.n_orig[i]) | (hay == self.n_flip[i])) & valid
+
+        if k is not None and k >= n:
+            return (
+                np.ones(n_hay, dtype=bool),
+                np.zeros(n_hay, dtype=np.int32),
+                lengths.astype(np.int32),
+            )
+
+        if k is None:
+            return (
+                np.ones(n_hay, dtype=bool),
+                np.zeros(n_hay, dtype=np.int32),
+                lengths.astype(np.int32),
+            )
+
+        if k == 0:
+            # greedy forward subsequence scan; pos[i] = match position of
+            # needle byte i (prefilter/algo/ascii.rs:19-53)
+            pos = np.full(n_hay, -1, dtype=np.int32)
+            alive = lengths > 0
+            first_pos = np.full(n_hay, 0, dtype=np.int32)
+            for i in range(n):
+                cand = eq(i) & (col[None, :] > pos[:, None])
+                has = cand.any(axis=1)
+                nxt = np.argmax(cand, axis=1).astype(np.int32)
+                alive = alive & has
+                pos = np.where(alive, nxt, pos)
+                if i == 0:
+                    first_pos = np.where(alive, pos, 0)
+            matched = alive
+            last_eq = eq(n - 1)
+            end = (
+                width - 1 - np.argmax(last_eq[:, ::-1], axis=1).astype(np.int32) + 1
+            )
+            end = np.where(matched, end, lengths.astype(np.int32))
+            return matched, first_pos, end
+
+        # k > 0: LCS membership (prefilter/mod.rs:1013-1047), vectorized with
+        # the accumulate-max row recurrence.
+        prev = np.zeros((n_hay, width + 1), dtype=np.int32)
+        for i in range(n):
+            tmp = np.zeros((n_hay, width + 1), dtype=np.int32)
+            tmp[:, 1:] = np.where(eq(i), prev[:, :-1] + 1, 0)
+            prev = np.maximum(prev, np.maximum.accumulate(tmp, axis=1))
+        lcs = prev[np.arange(n_hay), lengths.astype(np.intp)]
+        matched = (lcs + k) >= n
+
+        head_eq = np.zeros((n_hay, width), dtype=bool)
+        for i in range(min(k + 1, n)):
+            head_eq |= eq(i)
+        has_head = head_eq.any(axis=1)
+        start = np.where(has_head, np.argmax(head_eq, axis=1), 0).astype(np.int32)
+
+        tail_eq = np.zeros((n_hay, width), dtype=bool)
+        for i in range(max(0, n - 1 - k), n):
+            tail_eq |= eq(i)
+        has_tail = tail_eq.any(axis=1)
+        end = (
+            width - 1 - np.argmax(tail_eq[:, ::-1], axis=1).astype(np.int32) + 1
+        )
+        end = np.where(has_tail, end, lengths.astype(np.int32))
+        return matched, start, end
+
+    # ---- Smith-Waterman over a padded byte matrix ----
+
+    def _sw_scores(
+        self, hay: np.ndarray, lengths: np.ndarray, include_prefix: np.ndarray
+    ) -> np.ndarray:
+        """Batched SW recurrence (ascii.rs:10-158) on (N, C) zero-padded
+        bytes; C is a power of two. Returns uint16 scores."""
+        s = self.scoring
+        n_hay, width = hay.shape
+        if self.rows == 0 or n_hay == 0:
+            return np.zeros(n_hay, dtype=_U16)
+
+        gap_extend = np.uint16(s.gap_extend_penalty)
+        gap_open = np.uint16(max(0, s.gap_open_penalty - s.gap_extend_penalty))
+        match_plus_mismatch = np.uint16((s.match_score + s.mismatch_penalty) & U16_MAX)
+
+        # haystack-side lane bonuses (ascii.rs:64-101)
+        is_upper = (hay >= 65) & (hay <= 90)
+        is_lower = (hay >= 97) & (hay <= 122)
+        is_digit = (hay >= 48) & (hay <= 57)
+        is_delim = ~(is_upper | is_lower | is_digit | (hay > 127))
+        prev_lower = np.zeros_like(is_lower)
+        prev_lower[:, 1:] = is_lower[:, :-1]
+        prev_delim = np.zeros_like(is_delim)
+        prev_delim[:, 1:] = is_delim[:, :-1]
+        cap_mask = is_upper & prev_lower
+        delim_mask = prev_delim & ~is_delim
+
+        bonuses = np.zeros((n_hay, width), dtype=_U16)
+        bonuses += np.where(delim_mask, np.uint16(s.delimiter_bonus), np.uint16(0))
+        bonuses += np.where(cap_mask, np.uint16(s.capitalization_bonus), np.uint16(0))
+        bonuses[:, 0] += np.where(
+            include_prefix, np.uint16(s.prefix_bonus), np.uint16(0)
+        )
+        with np.errstate(over="ignore"):
+            bonuses += match_plus_mismatch
+
+        prev_row = np.zeros((n_hay, width), dtype=_U16)
+        prev_mask = np.zeros((n_hay, width), dtype=bool)
+        final = np.zeros(n_hay, dtype=_U16)
+        n_shifts = max(0, int(np.log2(width))) if width > 1 else 0
+
+        for i in range(self.rows):
+            exact_mask = hay == self.n_orig[i]
+            match_mask = exact_mask | (hay == self.n_flip[i])
+
+            diag = np.zeros((n_hay, width), dtype=_U16)
+            diag[:, 1:] = prev_row[:, :-1]
+            with np.errstate(over="ignore"):
+                diag += np.where(match_mask, bonuses, np.uint16(0))
+            diag = _ssub(diag, s.mismatch_penalty)
+            with np.errstate(over="ignore"):
+                diag += np.where(
+                    exact_mask, np.uint16(s.matching_case_bonus), np.uint16(0)
+                )
+
+            up = _ssub(prev_row, gap_extend)
+            up = _ssub(up, np.where(prev_mask, gap_open, np.uint16(0)))
+
+            row = np.maximum(diag, up)
+            # log-shift horizontal gap scan (ascii_gap.rs:11-43), full width
+            gex = gap_extend
+            shift = 1
+            for _ in range(n_shifts):
+                shifted = np.zeros_like(row)
+                shifted[:, shift:] = row[:, :-shift]
+                shifted_mm = np.zeros((n_hay, width), dtype=bool)
+                shifted_mm[:, shift:] = match_mask[:, :-shift]
+                with np.errstate(over="ignore"):
+                    penalty = gex + np.where(shifted_mm, gap_open, np.uint16(0))
+                row = np.maximum(row, _ssub(shifted, penalty))
+                gex = np.uint16((int(gex) * 2) & U16_MAX)
+                shift *= 2
+
+            prev_row = row
+            prev_mask = match_mask
+
+        final = prev_row.max(axis=1)
+        return final
+
+    # ---- full row pipeline ----
+
+    def match_batch(self, texts) -> BatchResult:
+        """Run the full match_list row pipeline over a batch of strings."""
+        encoded = [t.encode("utf-8") for t in texts]
+        n_total = len(encoded)
+        matched = np.zeros(n_total, dtype=bool)
+        scores = np.zeros(n_total, dtype=_U16)
+        exact = np.zeros(n_total, dtype=bool)
+        if self.rows == 0:
+            # empty needle: everything matches with score 0 (matcher/mod.rs Empty)
+            return BatchResult(np.ones(n_total, dtype=bool), scores, exact)
+
+        lengths = np.array([len(b) for b in encoded], dtype=np.int32)
+        eligible = np.nonzero(lengths >= self.min_len)[0]
+        if len(eligible) == 0:
+            return BatchResult(matched, scores, exact)
+
+        # oversized haystacks take the greedy path row-by-row (rare)
+        big = eligible[lengths[eligible] > MAX_HAYSTACK_LEN]
+        small = eligible[lengths[eligible] <= MAX_HAYSTACK_LEN]
+
+        for idx in big:
+            m = _greedy_row(
+                self.needle_bytes,
+                encoded[idx],
+                self.scoring,
+                self.case_sensitive,
+                self.max_typos,
+            )
+            if m is not None:
+                matched[idx], scores[idx], exact[idx] = True, m[0], m[1]
+
+        if len(small) == 0:
+            return BatchResult(matched, scores, exact)
+
+        # length-bucketed processing keeps the padded matrices dense
+        order = small[np.argsort(lengths[small], kind="stable")]
+        for lo_pow in _bucket_bounds(lengths[order]):
+            bucket = order[lo_pow]
+            self._match_bucket(bucket, encoded, lengths, matched, scores, exact)
+        return BatchResult(matched, scores, exact)
+
+    def _match_bucket(self, idxs, encoded, lengths, matched, scores, exact) -> None:
+        max_len = int(lengths[idxs].max()) if len(idxs) else 0
+        width = 1
+        while width < max(1, max_len):
+            width *= 2
+        hay = np.zeros((len(idxs), width), dtype=np.uint8)
+        for r, idx in enumerate(idxs):
+            b = encoded[idx]
+            hay[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        blens = lengths[idxs]
+
+        ok, start, end = self._prefilter_windows(hay, blens)
+        if not ok.any():
+            return
+        survivors = np.nonzero(ok)[0]
+
+        # window trim (matcher/algo.rs:331-338): re-pack trimmed slices
+        t_start = np.maximum(start[survivors] - 1, 0)
+        t_end = end[survivors]
+        t_lens = (t_end - t_start).astype(np.int32)
+        include_exact = (t_start == 0) & (t_end == blens[survivors])
+        t_width = 1
+        while t_width < max(1, int(t_lens.max())):
+            t_width *= 2
+        trimmed = np.zeros((len(survivors), t_width), dtype=np.uint8)
+        for r, si in enumerate(survivors):
+            trimmed[r, : t_lens[r]] = hay[si, t_start[r] : t_end[r]]
+
+        sw = self._sw_scores(trimmed, t_lens, include_prefix=(t_start == 0))
+
+        # exact bonus (matcher/algo.rs:244-248)
+        nb = np.frombuffer(self.needle_bytes, dtype=np.uint8)
+        is_exact = include_exact & (t_lens == len(nb))
+        if is_exact.any() and len(nb) <= t_width:
+            eq_needle = (trimmed[:, : len(nb)] == nb[None, :]).all(axis=1)
+            is_exact = is_exact & eq_needle
+            sw = np.where(
+                is_exact,
+                np.minimum(
+                    sw.astype(np.int64) + self.scoring.exact_match_bonus, U16_MAX
+                ).astype(_U16),
+                sw,
+            )
+
+        out_idx = idxs[survivors]
+        matched[out_idx] = True
+        scores[out_idx] = sw
+        exact[out_idx] = is_exact
+
+
+def _greedy_row(
+    needle: bytes,
+    haystack: bytes,
+    scoring: Scoring,
+    case_sensitive: bool,
+    max_typos: int | None,
+) -> tuple[int, bool] | None:
+    """Row pipeline for haystacks > MAX_HAYSTACK_LEN: prefilter then greedy
+    score; never exact (window covers all, but huge haystack != needle)."""
+    from .core.prefilter import prefilter_ascii, trim_haystack
+
+    if max_typos is not None:
+        m, start, end = prefilter_ascii(needle, haystack, max_typos, case_sensitive)
+        if not m:
+            return None
+    else:
+        start, end = 0, len(haystack)
+    trimmed, start_pos, include_exact = trim_haystack(haystack, start, end)
+    if len(trimmed) > MAX_HAYSTACK_LEN:
+        res = match_greedy(needle, trimmed, scoring, case_sensitive, start_pos == 0)
+        score = res[0] if res else 0
+    else:
+        from .core.oracle import score_haystack
+
+        score = score_haystack(
+            needle,
+            trimmed,
+            scoring,
+            case_sensitive,
+            include_prefix=start_pos == 0,
+        ).score
+    is_exact = include_exact and needle == trimmed
+    if is_exact:
+        score = min(U16_MAX, score + scoring.exact_match_bonus)
+    return score, is_exact
+
+
+def _bucket_bounds(sorted_lengths: np.ndarray):
+    """Split index ranges of an ascending length array at power-of-two
+    boundaries; yields slices into the sorted order."""
+    if len(sorted_lengths) == 0:
+        return
+    boundaries = [0]
+    cur_pow = 1
+    while cur_pow < max(1, int(sorted_lengths[-1])):
+        cur_pow *= 2
+        cut = int(np.searchsorted(sorted_lengths, cur_pow, side="right"))
+        if cut > boundaries[-1]:
+            boundaries.append(cut)
+    if boundaries[-1] != len(sorted_lengths):
+        boundaries.append(len(sorted_lengths))
+    for lo, hi in zip(boundaries[:-1], boundaries[1:]):
+        yield slice(lo, hi)
+
+
+def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult:
+    """Score a batch of haystacks against one needle.
+
+    ASCII needles use the vectorized kernel; unicode needles (or literal
+    matching modes) fall back to the scalar oracle matcher row-by-row."""
+    config = config or Config()
+    use_vectorized = (
+        config.matching.is_fuzzy
+        and not config.unicode.respects_unicode_for(needle)
+    )
+    if use_vectorized:
+        return AsciiKernel(needle, config).match_batch(texts)
+
+    matcher = Matcher([Pattern.new(needle)] if needle else [], config)
+    n = len(texts)
+    matched = np.zeros(n, dtype=bool)
+    scores = np.zeros(n, dtype=_U16)
+    exact = np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        m = matcher.match_one(t, i)
+        if m is not None:
+            matched[i], scores[i], exact[i] = True, m.score, m.exact
+    return BatchResult(matched, scores, exact)

@@ -1,0 +1,96 @@
+"""Parity harness: vectorized batch kernel == scalar oracle matcher
+(mirrors /root/reference/src/smith_waterman/backend/tests/parity.rs —
+the vectorized backend must be score-identical to the scalar oracle)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from frizbee_spark.core.config import CaseMatching, Config, SortStrategy
+from frizbee_spark.core.matcher import Matcher
+from frizbee_spark.kernel import match_batch
+
+CHARSET = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 /.,_-:")
+BOUNDARY_LENGTHS = [1, 7, 8, 15, 16, 31, 32, 63, 64, 127, 128, 1023, 1024, 1025]
+
+
+def _rand_string(rng: random.Random, max_len: int) -> str:
+    if rng.random() < 0.4:
+        length = rng.choice([b for b in BOUNDARY_LENGTHS if b <= max_len])
+    else:
+        length = rng.randint(0, max_len)
+    return "".join(rng.choice(CHARSET) for _ in range(length))
+
+
+def _assert_parity(needle: str, haystacks: list[str], config: Config) -> None:
+    oracle = Matcher(needle, config.with_(sort=SortStrategy.INDEX_ASC))
+    expected = {m.index: m for m in oracle.match_list(haystacks)}
+    got = match_batch(needle, haystacks, config)
+    for i, _h in enumerate(haystacks):
+        want = expected.get(i)
+        if want is None:
+            assert not got.matched[i], (needle, haystacks[i], config.max_typos)
+        else:
+            assert got.matched[i], (needle, haystacks[i], config.max_typos)
+            assert int(got.score[i]) == want.score, (
+                needle,
+                haystacks[i],
+                config.max_typos,
+                int(got.score[i]),
+                want.score,
+            )
+            assert bool(got.exact[i]) == want.exact
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_kernel_matches_oracle_random(seed):
+    rng = random.Random(12345 + seed)
+    for max_typos in [0, 1, 2, None]:
+        needle = ""
+        while not needle:
+            needle = _rand_string(rng, 8)
+        haystacks = [_rand_string(rng, 96) for _ in range(60)]
+        # plant guaranteed hits
+        haystacks += [needle, "x" + needle, needle + "x", needle.upper()]
+        config = Config(max_typos=max_typos)
+        _assert_parity(needle, haystacks, config)
+
+
+@pytest.mark.parametrize("casing", [CaseMatching.IGNORE, CaseMatching.SMART, CaseMatching.RESPECT])
+def test_kernel_matches_oracle_casing(casing):
+    rng = random.Random(777)
+    needle = "FoO"
+    haystacks = [_rand_string(rng, 48) for _ in range(40)]
+    haystacks += ["foo", "FOO", "FoO", "xxFoOxx", "f_o_O"]
+    _assert_parity(needle, haystacks, Config(max_typos=1, casing=casing))
+
+
+def test_kernel_long_haystacks_greedy_path():
+    rng = random.Random(999)
+    needle = "abc"
+    haystacks = [
+        "x" * 1020 + "abc",
+        "x" * 1022 + "abc",
+        "a" + "z" * 1100 + "bc",
+        "a" + "z" * 1100 + "b",
+        _rand_string(rng, 2000),
+    ]
+    _assert_parity(needle, haystacks, Config(max_typos=1))
+    _assert_parity(needle, haystacks, Config(max_typos=None))
+
+
+def test_kernel_empty_needle():
+    got = match_batch("", ["a", "b"], Config())
+    assert got.matched.all()
+    assert (got.score == 0).all()
+
+
+def test_kernel_unicode_fallback_parity():
+    haystacks = ["é", "xé", "éx", "e", "née", "naïve", ""]
+    _assert_parity("é", haystacks, Config(max_typos=0))
+
+
+def test_kernel_scores_are_u16():
+    got = match_batch("abc", ["abcabcabc"], Config(max_typos=None))
+    assert got.score.dtype == np.uint16
