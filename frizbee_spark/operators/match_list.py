@@ -1,0 +1,123 @@
+"""DataFrame-level match_list: frizbee's batch scan as a Spark operator.
+
+Spark-first design (SURVEY.md §3.4): the cheap length filter is expressed in
+SQL so Catalyst pushes it into the parquet scan, the SW scorer runs as one
+Arrow-batched pandas UDF projection, and ordering is a DataFrame sort (the
+shuffle merge-sort replaces the reference's per-thread sort + k-way merge,
+src/matcher/parallel.rs:18-89)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.config import Config, SortStrategy
+from ..core.pattern import Pattern
+from ..udfs import fuzzy_match_udf
+
+__all__ = ["match_list", "match_query"]
+
+
+def _order_columns(config: Config, index_col: str) -> list[Column]:
+    """The four SortStrategy orderings (src/lib.rs:313-354, src/sort.rs:6-40)."""
+    sort = config.sort
+    if sort is SortStrategy.SCORE_THEN_INDEX_ASC:
+        return [F.desc("score"), F.asc(index_col)]
+    if sort is SortStrategy.SCORE_THEN_INDEX_DESC:
+        return [F.desc("score"), F.desc(index_col)]
+    if sort is SortStrategy.INDEX_ASC:
+        return [F.asc(index_col)]
+    return [F.desc(index_col)]
+
+
+def match_list(
+    df: DataFrame,
+    needle: str,
+    config: Config | None = None,
+    text_col: str = "text",
+    index_col: str = "doc_id",
+    ordered: bool = True,
+) -> DataFrame:
+    """Score every row's `text_col` against `needle`, keeping matches.
+
+    Returns (index_col, score, exact). Equivalent to the reference's
+    match_list (src/matcher/mod.rs:212-222) over the column."""
+    config = config or Config()
+
+    out = df.select(index_col, text_col)
+    # min-length filter in SQL so it reaches the scan (matcher/algo.rs:62-65);
+    # byte semantics via octet_length. The UDF re-checks, this is pruning only.
+    if config.max_typos is not None and config.matching.is_fuzzy:
+        min_len = max(0, len(needle) - config.max_typos)
+        if min_len > 0:
+            out = out.where(F.octet_length(F.col(text_col)) >= F.lit(min_len))
+
+    udf = fuzzy_match_udf(needle, config)
+    out = (
+        out.withColumn("m", udf(F.col(text_col)))
+        .where(F.col("m.matched"))
+        .select(
+            F.col(index_col),
+            F.col("m.score").alias("score"),
+            F.col("m.exact").alias("exact"),
+        )
+    )
+    if ordered:
+        out = out.orderBy(*_order_columns(config, index_col))
+    return out
+
+
+def match_query(
+    df: DataFrame,
+    query: str,
+    config: Config | None = None,
+    text_col: str = "text",
+    index_col: str = "doc_id",
+    ordered: bool = True,
+) -> DataFrame:
+    """Multi-pattern query (`foo !^bar`): AND of non-negated atoms with score
+    sum / exact OR, anti-filter for negated atoms (src/matcher/multi.rs:84-152).
+
+    Each atom is one vectorized UDF projection; negated atoms become a SQL
+    NOT on the matched flag (relationally a left-anti semi-join on the same
+    row set, fused here into a single projection pipeline)."""
+    config = config or Config()
+    patterns = Pattern.parse_query(query)
+
+    out = df.select(index_col, text_col)
+    if not patterns:
+        # Empty query: every row matches with score 0 (matcher/mod.rs Empty)
+        result = out.select(
+            F.col(index_col),
+            F.lit(0).alias("score"),
+            F.lit(False).alias("exact"),
+        )
+        if ordered and config.sort is SortStrategy.INDEX_DESC:
+            result = result.orderBy(F.desc(index_col))
+        elif ordered:
+            result = result.orderBy(F.asc(index_col))
+        return result
+
+    score_expr = F.lit(0)
+    exact_expr = F.lit(False)
+    keep_expr = F.lit(True)
+    for i, pattern in enumerate(patterns):
+        resolved = pattern.config.resolve(config)
+        udf = fuzzy_match_udf(pattern.needle, resolved)
+        col = f"_m{i}"
+        out = out.withColumn(col, udf(F.col(text_col)))
+        if pattern.negated:
+            keep_expr = keep_expr & ~F.col(f"{col}.matched")
+        else:
+            keep_expr = keep_expr & F.col(f"{col}.matched")
+            score_expr = score_expr + F.col(f"{col}.score")
+            exact_expr = exact_expr | F.col(f"{col}.exact")
+
+    out = out.where(keep_expr).select(
+        F.col(index_col),
+        F.least(score_expr, F.lit(0xFFFF)).cast("int").alias("score"),
+        exact_expr.alias("exact"),
+    )
+    if ordered:
+        out = out.orderBy(*_order_columns(config, index_col))
+    return out

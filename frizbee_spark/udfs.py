@@ -1,0 +1,79 @@
+"""Arrow-batched pandas UDFs wrapping the vectorized kernel.
+
+Per BASELINE.json input_hint: vectorized pandas/Arrow UDFs throughout, no
+per-row Python on the hot path. The compiled needle + config are plain
+Python constants captured in the UDF closure at plan time and shipped to
+executors once per task."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from .core.config import Config
+
+MATCH_STRUCT = StructType(
+    [
+        StructField("matched", BooleanType(), False),
+        StructField("score", IntegerType(), False),
+        StructField("exact", BooleanType(), False),
+    ]
+)
+
+
+def fuzzy_match_udf(needle: str, config: Config | None = None):
+    """Returns a pandas UDF text -> struct(matched, score, exact) running the
+    full frizbee row pipeline (length filter -> prefilter -> window trim ->
+    SW -> exact bonus) batched across the Arrow batch."""
+    config = config or Config()
+
+    @pandas_udf(MATCH_STRUCT)
+    def _match(texts: pd.Series) -> pd.DataFrame:
+        from .kernel import match_batch
+
+        filled = texts.fillna("")
+        res = match_batch(needle, filled.tolist(), config)
+        return pd.DataFrame(
+            {
+                "matched": res.matched & texts.notna().to_numpy(),
+                "score": res.score.astype("int32"),
+                "exact": res.exact,
+            }
+        )
+
+    return _match
+
+
+def score_pairs_udf(config: Config | None = None):
+    """Returns a pandas UDF (needle_text, haystack_text) -> score for
+    candidate-pair verification in the dedup pipeline. Pairs are grouped by
+    needle within a batch so each distinct needle compiles once and scores
+    its haystacks vectorized."""
+    config = config or Config()
+
+    @pandas_udf(IntegerType())
+    def _score(needles: pd.Series, haystacks: pd.Series) -> pd.Series:
+        from collections import defaultdict
+
+        import numpy as np
+
+        from .kernel import match_batch
+
+        nl = needles.fillna("").to_numpy()
+        hl = haystacks.fillna("").to_numpy()
+        out = np.full(len(nl), -1, dtype="int32")
+        groups: dict[str, list[int]] = defaultdict(list)
+        for pos, n in enumerate(nl):
+            groups[n].append(pos)
+        for needle, positions in groups.items():
+            res = match_batch(needle, [hl[p] for p in positions], config)
+            out[positions] = np.where(res.matched, res.score.astype("int32"), -1)
+        return pd.Series(out)
+
+    return _score
