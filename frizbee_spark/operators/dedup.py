@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (designed for 10^12 docs / 1000 executors):
+- exact dedup groups on a 64-bit JVM-side fingerprint, never on raw text —
+  the shuffle moves 8-byte keys, not documents.
+- MinHash signatures are computed in one Arrow-batched pandas UDF pass
+  (numpy inner loop per doc, no per-row Python interpretation of shingles).
+- LSH banding explodes to (band_id, band_hash) rows; candidate pairs come
+  from a salted, capped groupBy on the band key. Buckets above
+  `bucket_cap` (boilerplate pages) are dropped and counted instead of
+  producing O(n^2) pairs; AQE skew-join handles residual imbalance.
+- All hashing is seed-deterministic (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions import hashing as H
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "lsh_bands",
+    "candidate_pairs",
+    "simhash_values",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups via normalized-text fingerprint. Returns
+    (fingerprint, canonical_id, n_dups) for groups with >1 member."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.xxhash64(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _signature_udf(shingle_k: int, num_perm: int, seed: int):
+    a, b = H.minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts.fillna(""):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            shingles = H.hash_shingles(data, shingle_k)
+            sig = H.minhash_signature(np.unique(shingles), a, b)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>) MinHash signatures over char k-shingles."""
+    udf = _signature_udf(shingle_k, num_perm, seed)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("signature"))
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+) -> DataFrame:
+    """Explode signatures into (id, band_id, band_hash) rows."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _bands(sigs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for sig in sigs:
+            arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
+            out.append(H.band_hashes(arr, num_bands).astype(np.int64))
+        return pd.Series(out)
+
+    return (
+        signatures.select(F.col(id_col), _bands("signature").alias("bands"))
+        .select(F.col(id_col), F.posexplode("bands").alias("band_id", "band_hash"))
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Unique (a, b) candidate pairs from shared LSH buckets, a < b.
+
+    Returns (pairs, dropped_buckets). Buckets larger than `bucket_cap` are
+    dropped (logged to the lineage table) rather than exploding
+    quadratically — at web scale a boilerplate bucket can hold millions of
+    docs and one such bucket would dominate the job."""
+    key = ["band_id", "band_hash"]
+    sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
+    ok_buckets = sizes.where(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
+    )
+    dropped = sizes.where(F.col("bucket_size") > bucket_cap)
+
+    # join back only rows in small multi-member buckets, then pair within
+    # the bucket via self-join on the band key (AQE splits skewed keys)
+    member = bands.join(ok_buckets.select(*key), key, "left_semi")
+    left = member.select(
+        *key, F.col(id_col).alias("a")
+    )
+    right = member.select(
+        *key, F.col(id_col).alias("b")
+    )
+    pairs = (
+        left.join(right, key)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs, dropped
+
+
+def simhash_values(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash fallback; near-dups share most
+    bits, so banding by 16-bit pieces finds Hamming-close pairs."""
+
+    @pandas_udf(LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            shingles = H.hash_shingles(data, shingle_k)
+            out[i] = np.int64(H.simhash64(np.unique(shingles)).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    simhashes: DataFrame, id_col: str = "doc_id", num_pieces: int = 4
+) -> DataFrame:
+    """Pairs of docs sharing any 16-bit piece of their SimHash (banding the
+    64-bit hash into `num_pieces` pieces finds pairs within Hamming
+    distance `num_pieces - 1` with certainty)."""
+    piece_width = 64 // num_pieces
+    pieces = simhashes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("piece_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * piece_width)
+                        .bitwiseAND(F.lit((1 << piece_width) - 1))
+                        .alias("piece"),
+                    )
+                    for i in range(num_pieces)
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, "p.piece_id", "p.piece")
+    left = pieces.select("piece_id", "piece", F.col(id_col).alias("a"))
+    right = pieces.select("piece_id", "piece", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["piece_id", "piece"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs: (a, b, jaccard).
+
+    Joins pair ids to shingle-hash sets and intersects JVM-side with array
+    functions — used both as a verification stage and as the small-scale
+    ground-truth oracle."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _shingles(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts.fillna(""):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            out.append(np.unique(H.hash_shingles(data, shingle_k)).astype(np.int64))
+        return pd.Series(out)
+
+    sh = df.select(F.col(id_col), _shingles(F.col(text_col)).alias("sh"))
+    a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a_sh, "a").join(b_sh, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "a",
+        "b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity for candidate id pairs over an array<float> column,
+    computed with JVM-side higher-order functions (zip_with + aggregate)."""
+    a_e = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b_e = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    joined = pairs.join(a_e, "a").join(b_e, "b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    return joined.select(
+        "a",
+        "b",
+        F.round(
+            dot(F.col("va"), F.col("vb"))
+            / F.greatest(norm(F.col("va")) * norm(F.col("vb")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
