@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The primary metric is the end-to-end wall time of the headline suite; the
+queries dict carries per-query seconds plus derived docs/sec for the dedup
+path. tools/run_scaling_bench.py reuses this module at two parallelism
+levels to produce the N-vs-4N scaling table in BENCH/BASELINE.md."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("frizbee-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.default.parallelism", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .getOrCreate()
+    )
+
+
+def dedup_end_to_end(spark, sf_dir: str) -> int:
+    """MinHash -> LSH -> capped pairs -> Jaccard verify -> connected
+    components over the documents table; returns number of docs processed."""
+    from pyspark.sql import functions as F
+
+    from frizbee_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from frizbee_spark.pipeline.connected_components import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    sigs = minhash_signatures(docs, shingle_k=5, num_perm=128)
+    bands = lsh_bands(sigs, num_bands=32)
+    pairs, _dropped = candidate_pairs(bands, bucket_cap=128)
+    verified = ngram_jaccard_pairs(docs, pairs, shingle_k=5).where(
+        F.col("jaccard") >= 0.5
+    )
+    components = connected_components(spark, verified.select("a", "b"))
+    components.count()
+    return n_docs
+
+
+def run_benchmarks(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    headline = [
+        "match_fuzzy",
+        "match_fuzzy_no_prefilter",
+        "match_multi_pattern",
+        "minhash_lsh_pairs",
+        "exact_dup_groups",
+        "simhash_fingerprints",
+        "token_counts",
+        "quality_signals",
+        "agg_pricing_summary",
+        "join_orders_per_nation",
+        "latest_event_per_user",
+        "ann_brute_force",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        _ = n
+
+    start = time.perf_counter()
+    n_docs = dedup_end_to_end(spark, sf_dir)
+    dedup_sec = time.perf_counter() - start
+    timings["dedup_end_to_end"] = round(dedup_sec, 4)
+    timings["dedup_docs_per_sec"] = round(n_docs / dedup_sec, 2)
+
+    total = round(sum(v for k, v in timings.items() if k.endswith(("_sec",)) is False
+                      and k != "dedup_docs_per_sec"), 4)
+    return {"total_sec": total, "queries": timings, "n_docs": n_docs}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        result = run_benchmarks(spark, sf_dir)
+    finally:
+        spark.stop()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": result["total_sec"],
+                "unit": "sec",
+                "queries": result["queries"],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "n_docs": result["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""Multimodal column operators: image/audio/video as opaque `binary`
+columns with typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
+mapInPandas signatures) is real and tested; the actual codec work is
+STUBBED behind `DecoderNotAvailable` / deterministic fakes because the
+image/audio libraries are not in this container. A real deployment swaps
+`_decode_image_stub` for PIL/libvips inside the same mapInPandas contract.
+
+Scale notes: binary payloads ride in their own column so Parquet column
+pruning skips them unless the stage needs bytes; `maxRecordsPerBatch`
+should be lowered (e.g. 256) on tables with MB-scale blobs so Arrow
+batches stay within executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "DecoderNotAvailable",
+    "attach_media_metadata",
+    "decode_and_featurize",
+    "sample_video_frames",
+]
+
+
+class DecoderNotAvailable(NotImplementedError):
+    """Raised by codec stubs; swap in a real decoder in production."""
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_entropy", FloatType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side cheap metadata: payload size and a magic-byte MIME sniff —
+    no decode, no Python."""
+    payload = F.col(payload_col)
+    hex_prefix = F.hex(F.substring(payload, 1, 4))
+    return df.withColumn("n_bytes", F.octet_length(payload)).withColumn(
+        "mime_sniffed",
+        F.when(hex_prefix.startswith("FFD8"), F.lit("image/jpeg"))
+        .when(hex_prefix == "89504E47", F.lit("image/png"))
+        .when(hex_prefix.startswith("52494646"), F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream")),
+    )
+
+
+def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    """STUB decode: the container has no image codec. With
+    `deterministic_fake` the payload bytes seed a fake 8x8 grayscale
+    'image' so downstream shape/partition logic is exercised end-to-end."""
+    if not deterministic_fake:
+        raise DecoderNotAvailable(
+            "image decoding requires PIL/libvips; not available in this container"
+        )
+    arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    reps = -(-64 // len(arr))
+    return np.tile(arr, reps)[:64].reshape(8, 8).astype(np.float32)
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    feature_dim: int = 16,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas decode -> feature-extract: (media_id, n_bytes,
+    byte_entropy, feature: array<float>).
+
+    Batched over Arrow; the per-item numpy work is the shape a real
+    decode+embed stage has (decode bytes -> pixel array -> pooled feature)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, n_bytes, entropies, feats = [], [], [], []
+            for media_id, payload in zip(batch[id_col], batch[payload_col]):
+                payload = payload or b""
+                data = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(data, minlength=256) if len(data) else np.zeros(256)
+                p = counts / max(1, counts.sum())
+                nz = p[p > 0]
+                entropy = float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0
+                img = _decode_image_stub(payload, deterministic_fake)
+                pooled = np.resize(img.mean(axis=0), feature_dim).astype(np.float32)
+                ids.append(media_id)
+                n_bytes.append(len(payload))
+                entropies.append(entropy)
+                feats.append(pooled.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": n_bytes,
+                    "byte_entropy": np.asarray(entropies, dtype=np.float32),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: emits up to `max_frames` byte-slices per
+    video payload (a real implementation yields decoded keyframes from the
+    same mapInPandas contract — one input row fanning out to many rows)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(batch[id_col], batch[payload_col]):
+                payload = payload or b""
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

@@ -1,0 +1,319 @@
+"""The end-to-end near-duplicate detection + clustering pipeline
+(north_star, BASELINE.json): web_pages -> text extraction -> MinHash
+signatures -> LSH bands -> salted/capped candidate pairs -> verification
+(exact n-gram Jaccard + the frizbee SW kernel on bounded windows) ->
+large-star/small-star connected components -> cluster table.
+
+Every stage writes a parquet checkpoint under `workdir` plus per-partition
+lineage counters to `<workdir>/_lineage`; `run(resume=True)` (the default)
+skips any stage whose checkpoint is already complete, so a killed job
+restarts mid-pipeline (north_rule: resumable from checkpoint with
+per-partition lineage + metrics).
+
+Scale design (10^12 docs, 1000 executors):
+- doc ids are 64-bit xxhash64(url): band rows and pair shuffles move 8-byte
+  keys, never urls or texts. (At 10^12 keys the 64-bit birthday bound gives
+  ~3e4 expected collisions — acceptable for dedup where a collision merges
+  two random docs; a 128-bit (hash, hash') composite key is a drop-in if
+  not.)
+- candidate generation caps LSH bucket size (boilerplate buckets are
+  dropped and *counted* in lineage instead of producing O(n^2) pairs).
+- verification joins texts only for surviving pairs (pairs << docs), and
+  the SW kernel scores bounded 256B/1024B windows so the greedy fallback
+  never dominates.
+- AQE handles residual skew; every stage boundary is a parquet checkpoint
+  so a lost executor never recomputes more than one stage.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.config import CaseMatching, Config
+from ..operators.dedup import candidate_pairs, lsh_bands, minhash_signatures
+from .connected_components import connected_components
+
+
+@dataclass
+class DedupConfig:
+    shingle_k: int = 5
+    num_perm: int = 126
+    num_bands: int = 42  # 42 bands x 3 rows: P(candidate | jaccard 0.6) > 0.9999
+    bucket_cap: int = 128
+    jaccard_threshold: float = 0.5
+    #: pairs with jaccard in [sw_gate, threshold) get SW-kernel verification;
+    #: below sw_gate they are rejected without scoring
+    sw_gate: float = 0.3
+    sw_ratio_threshold: float = 0.85
+    sw_window: int = 256
+    seed: int = 42
+
+
+class DedupPipeline:
+    STAGES = [
+        "extract",
+        "signatures",
+        "bands",
+        "pairs",
+        "verify",
+        "components",
+        "clusters",
+    ]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        config: DedupConfig | None = None,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.config = config or DedupConfig()
+
+    # -- checkpoint plumbing --
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _write(self, stage: str, df: DataFrame) -> DataFrame:
+        path = self._path(stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._record_lineage(stage, out)
+        return out
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    def _record_lineage(self, stage: str, df: DataFrame) -> None:
+        """Per-partition row counters for the stage output."""
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .select("stage", "partition_id", "rows")
+        )
+        counts.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "_lineage"))
+
+    # -- stages --
+
+    def _stage_extract(self, pages: DataFrame) -> DataFrame:
+        """Text extraction: byte-identical `text` per url (input invariant);
+        latest capture wins per url via warc_ts row_number."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        return (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "url",
+                F.xxhash64("url").alias("doc_id"),
+                "text",
+                "lang",
+                "warc_ts",
+            )
+        )
+
+    def _stage_signatures(self, docs: DataFrame) -> DataFrame:
+        c = self.config
+        return minhash_signatures(
+            docs,
+            text_col="text",
+            id_col="doc_id",
+            shingle_k=c.shingle_k,
+            num_perm=c.num_perm,
+            seed=c.seed,
+        )
+
+    def _stage_bands(self, signatures: DataFrame) -> DataFrame:
+        return lsh_bands(signatures, id_col="doc_id", num_bands=self.config.num_bands)
+
+    def _stage_pairs(self, bands: DataFrame) -> DataFrame:
+        pairs, dropped = candidate_pairs(
+            bands, id_col="doc_id", bucket_cap=self.config.bucket_cap
+        )
+        dropped_counts = dropped.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_buckets"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_members"),
+        ).collect()[0]
+        self._record_scalar("pairs.dropped_buckets", int(dropped_counts["n_buckets"]))
+        self._record_scalar("pairs.dropped_members", int(dropped_counts["n_members"]))
+        return pairs
+
+    def _record_scalar(self, name: str, value: int) -> None:
+        row = self.spark.createDataFrame(
+            [(name, -1, value)], ["stage", "partition_id", "rows"]
+        )
+        row.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+
+    def _stage_verify(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
+        """Candidate-pair verification: exact n-gram Jaccard plus the
+        frizbee SW kernel on bounded windows (needle = 256B prefix of the
+        shorter text, haystack = 1024B window of the other).
+
+        accept = jaccard >= threshold OR sw_ratio >= threshold — Jaccard is
+        the primary signal at identical shingle config; the SW ratio
+        catches typo-level rewrites that shift many shingles at once."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        c = self.config
+        shingle_k = c.shingle_k
+        window = c.sw_window
+        sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
+
+        texts_a = docs.select(
+            F.col("doc_id").alias("a"), F.col("text").alias("text_a")
+        )
+        texts_b = docs.select(
+            F.col("doc_id").alias("b"), F.col("text").alias("text_b")
+        )
+        joined = pairs.join(texts_a, "a").join(texts_b, "b")
+
+        @pandas_udf(DoubleType())
+        def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+            from ..functions.hashing import hash_shingles
+
+            out = np.zeros(len(ta))
+            for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
+                sa = np.unique(
+                    hash_shingles(np.frombuffer(x.encode(), dtype=np.uint8), shingle_k)
+                )
+                sb = np.unique(
+                    hash_shingles(np.frombuffer(y.encode(), dtype=np.uint8), shingle_k)
+                )
+                if len(sa) == 0 and len(sb) == 0:
+                    out[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                out[i] = inter / union if union else 0.0
+            return pd.Series(out)
+
+        @pandas_udf(DoubleType())
+        def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+            from ..kernel import match_batch
+
+            out = np.zeros(len(ta))
+            ta = ta.fillna("")
+            tb = tb.fillna("")
+            for i, (x, y) in enumerate(zip(ta, tb)):
+                short, other = (x, y) if len(x) <= len(y) else (y, x)
+                needle = short[:window]
+                if not needle:
+                    out[i] = 1.0
+                    continue
+                hay = other[: 4 * window]
+                res = match_batch(needle, [hay, needle], sw_config)
+                self_score = int(res.score[1])
+                out[i] = int(res.score[0]) / self_score if self_score else 0.0
+            return pd.Series(out)
+
+        scored = joined.withColumn(
+            "jaccard", F.round(jaccard_udf("text_a", "text_b"), 6)
+        )
+        # split so the expensive SW kernel only ever sees borderline pairs —
+        # a WHEN around a UDF would still evaluate it for every row
+        accepted = scored.where(F.col("jaccard") >= c.jaccard_threshold).select(
+            "a", "b", "jaccard", F.lit(1.0).alias("sw_ratio")
+        )
+        borderline = scored.where(
+            (F.col("jaccard") >= c.sw_gate)
+            & (F.col("jaccard") < c.jaccard_threshold)
+        )
+        rescued = (
+            borderline.withColumn(
+                "sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6)
+            )
+            .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
+            .select("a", "b", "jaccard", "sw_ratio")
+        )
+        return accepted.unionByName(rescued)
+
+    def _stage_components(self, edges: DataFrame) -> DataFrame:
+        cc_dir = os.path.join(self.workdir, "_cc_checkpoints")
+        return connected_components(
+            self.spark, edges.select("a", "b"), checkpoint_dir=cc_dir
+        )
+
+    def _stage_clusters(self, docs: DataFrame, components: DataFrame) -> DataFrame:
+        """Final table: (url, doc_id, cluster_id, is_canonical, text). Docs
+        without any verified edge form singleton clusters."""
+        assigned = docs.join(
+            components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).withColumn("cluster_id", F.coalesce("component", "doc_id"))
+        canonical = assigned.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("_canon")
+        )
+        return (
+            assigned.join(canonical, "cluster_id")
+            .withColumn("is_canonical", F.col("doc_id") == F.col("_canon"))
+            .select("url", "doc_id", "cluster_id", "is_canonical", "lang", "text")
+        )
+
+    # -- driver --
+
+    def run(
+        self,
+        pages: DataFrame | None = None,
+        resume: bool = True,
+        stop_after: str | None = None,
+    ) -> DataFrame | None:
+        """Run (or resume) the pipeline. `stop_after` simulates a mid-run
+        kill after the named stage (for resume testing). Returns the final
+        cluster DataFrame, or None when stopped early."""
+
+        def finished(stage: str) -> bool:
+            return resume and self._done(stage)
+
+        if not finished("extract"):
+            if pages is None:
+                raise ValueError("extract stage needs the input pages DataFrame")
+            self._write("extract", self._stage_extract(pages))
+        if stop_after == "extract":
+            return None
+        docs = self._read("extract")
+
+        if not finished("signatures"):
+            self._write("signatures", self._stage_signatures(docs))
+        if stop_after == "signatures":
+            return None
+
+        if not finished("bands"):
+            self._write("bands", self._stage_bands(self._read("signatures")))
+        if stop_after == "bands":
+            return None
+
+        if not finished("pairs"):
+            self._write("pairs", self._stage_pairs(self._read("bands")))
+        if stop_after == "pairs":
+            return None
+
+        if not finished("verify"):
+            self._write("verify", self._stage_verify(self._read("pairs"), docs))
+        if stop_after == "verify":
+            return None
+
+        if not finished("components"):
+            self._write("components", self._stage_components(self._read("verify")))
+        if stop_after == "components":
+            return None
+
+        if not finished("clusters"):
+            self._write(
+                "clusters", self._stage_clusters(docs, self._read("components"))
+            )
+        return self._read("clusters")

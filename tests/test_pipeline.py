@@ -1,0 +1,133 @@
+"""Pipeline correctness fixtures (FIXTURES.md §3):
+- dup-pair recall >= 0.99 vs planted ground-truth clusters
+- byte-identical extracted text per url
+- kill-and-resume produces the identical final cluster table
+- connected components correctness vs a union-find oracle
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.pipeline.connected_components import connected_components
+from frizbee_spark.pipeline.dedup_pipeline import DedupConfig, DedupPipeline
+from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
+
+pytestmark = [pytest.mark.spark, pytest.mark.slow]
+
+
+def _union_find_clusters(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_vs_union_find(spark, tmp_path):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = set()
+    while len(edges) < 300:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r.node: r.component
+        for r in connected_components(spark, df, str(tmp_path / "cc")).collect()
+    }
+    want = _union_find_clusters(edges, nodes)
+    touched = {n for e in edges for n in e}
+    for n in touched:
+        assert got[n] == want[n], n
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(n_base=150, dup_rate=0.4, seed=1234)
+
+
+def _run_pipeline(spark, tmp_path, corpus, **kwargs):
+    pages = corpus_to_df(spark, corpus)
+    pipeline = DedupPipeline(spark, str(tmp_path), DedupConfig(**kwargs))
+    clusters = pipeline.run(pages)
+    return pipeline, clusters
+
+
+def test_pipeline_recall_and_text_invariant(spark, tmp_path, corpus):
+    pipeline, clusters = _run_pipeline(spark, tmp_path / "main", corpus)
+    rows = clusters.collect()
+
+    # text invariant: byte-identical text per url
+    by_url = {r.url: r for r in rows}
+    expected_text = {p.url: p.text for p in corpus.pages}
+    assert set(by_url) == set(expected_text)
+    for url, text in expected_text.items():
+        assert by_url[url].text == text, url
+
+    # dup-pair recall vs planted ground truth
+    cluster_of = {r.url: r.cluster_id for r in rows}
+    found = 0
+    for a, b in corpus.dup_pairs:
+        if cluster_of[a] == cluster_of[b]:
+            found += 1
+    recall = found / len(corpus.dup_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 ({found}/{len(corpus.dup_pairs)})"
+
+    # lineage counters exist for every stage
+    lineage_stages = {
+        r.stage for r in pipeline.lineage().select("stage").distinct().collect()
+    }
+    for stage in ["extract", "signatures", "bands", "pairs", "verify", "clusters"]:
+        assert stage in lineage_stages, stage
+
+
+def test_pipeline_precision_sanity(spark, tmp_path, corpus):
+    """Different base docs must rarely be merged (word-salad vocabulary is
+    shared, so demand >= 0.95 pairwise precision rather than perfection)."""
+    _pipeline, clusters = _run_pipeline(spark, tmp_path / "prec", corpus)
+    rows = clusters.collect()
+    truth = corpus.clusters
+    merged = {}
+    for r in rows:
+        merged.setdefault(r.cluster_id, []).append(r.url)
+    good = bad = 0
+    for _cid, urls in merged.items():
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                if truth[urls[i]] == truth[urls[j]]:
+                    good += 1
+                else:
+                    bad += 1
+    if good + bad:
+        precision = good / (good + bad)
+        assert precision >= 0.95, f"pairwise precision {precision:.4f}"
+
+
+def test_pipeline_kill_and_resume(spark, tmp_path, corpus):
+    pages = corpus_to_df(spark, corpus)
+
+    # full run
+    full = DedupPipeline(spark, str(tmp_path / "full"))
+    full_rows = {
+        (r.url, r.cluster_id) for r in full.run(pages).collect()
+    }
+
+    # killed after the bands stage, then resumed
+    part = DedupPipeline(spark, str(tmp_path / "part"))
+    assert part.run(pages, stop_after="bands") is None
+    assert part._done("bands") and not part._done("pairs")
+    resumed = part.run(pages, resume=True)
+    resumed_rows = {(r.url, r.cluster_id) for r in resumed.collect()}
+
+    assert full_rows == resumed_rows
