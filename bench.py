@@ -36,28 +36,31 @@ def build_spark(cpus: int):
 
 
 def dedup_end_to_end(spark, sf_dir: str) -> int:
-    """MinHash -> LSH -> capped pairs -> Jaccard verify -> connected
-    components over the documents table; returns number of docs processed."""
+    """The full checkpointed dedup pipeline (extract -> MinHash -> LSH ->
+    capped pairs -> verify -> connected components -> clusters) over the
+    documents table dressed as web_pages; returns number of docs."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    from frizbee_spark.operators.dedup import (
-        candidate_pairs,
-        lsh_bands,
-        minhash_signatures,
-        ngram_jaccard_pairs,
-    )
-    from frizbee_spark.pipeline.connected_components import connected_components
+    from frizbee_spark.pipeline.dedup_pipeline import DedupPipeline
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
-    sigs = minhash_signatures(docs, shingle_k=5, num_perm=128)
-    bands = lsh_bands(sigs, num_bands=32)
-    pairs, _dropped = candidate_pairs(bands, bucket_cap=128)
-    verified = ngram_jaccard_pairs(docs, pairs, shingle_k=5).where(
-        F.col("jaccard") >= 0.5
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        "text",
+        "lang",
     )
-    components = connected_components(spark, verified.select("a", "b"))
-    components.count()
+    workdir = tempfile.mkdtemp(prefix="frizbee_bench_dedup_")
+    try:
+        pipeline = DedupPipeline(spark, workdir)
+        clusters = pipeline.run(pages, resume=False)
+        n_docs = clusters.count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
     return n_docs
 
 

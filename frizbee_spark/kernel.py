@@ -28,8 +28,11 @@ _U16 = np.uint16
 
 
 def _ssub(a: np.ndarray, b) -> np.ndarray:
+    """Saturating subtract via max(a,b)-b: a>=b -> a-b, else 0."""
     b_arr = np.asarray(b, dtype=_U16)
-    return np.where(a >= b_arr, a - b_arr, np.uint16(0)).astype(_U16)
+    out = np.maximum(a, b_arr)
+    out -= b_arr
+    return out
 
 
 @dataclass
@@ -103,9 +106,10 @@ class AsciiKernel:
                 lengths.astype(np.int32),
             )
 
-        if k == 0:
-            # greedy forward subsequence scan; pos[i] = match position of
-            # needle byte i (prefilter/algo/ascii.rs:19-53)
+        def greedy_scan() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            """Greedy forward subsequence scan; pos[i] = match position of
+            needle byte i (prefilter/algo/ascii.rs:19-53). Returns
+            (alive, first_pos, pos)."""
             pos = np.full(n_hay, -1, dtype=np.int32)
             alive = lengths > 0
             first_pos = np.full(n_hay, 0, dtype=np.int32)
@@ -117,7 +121,10 @@ class AsciiKernel:
                 pos = np.where(alive, nxt, pos)
                 if i == 0:
                     first_pos = np.where(alive, pos, 0)
-            matched = alive
+            return alive, first_pos, pos
+
+        if k == 0:
+            matched, first_pos, _pos = greedy_scan()
             last_eq = eq(n - 1)
             end = (
                 width - 1 - np.argmax(last_eq[:, ::-1], axis=1).astype(np.int32) + 1
@@ -125,15 +132,26 @@ class AsciiKernel:
             end = np.where(matched, end, lengths.astype(np.int32))
             return matched, first_pos, end
 
-        # k > 0: LCS membership (prefilter/mod.rs:1013-1047), vectorized with
-        # the accumulate-max row recurrence.
-        prev = np.zeros((n_hay, width + 1), dtype=np.int32)
-        for i in range(n):
-            tmp = np.zeros((n_hay, width + 1), dtype=np.int32)
-            tmp[:, 1:] = np.where(eq(i), prev[:, :-1] + 1, 0)
-            prev = np.maximum(prev, np.maximum.accumulate(tmp, axis=1))
-        lcs = prev[np.arange(n_hay), lengths.astype(np.intp)]
-        matched = (lcs + k) >= n
+        # k > 0: LCS membership (prefilter/mod.rs:1013-1047). A row passing
+        # the (much cheaper) greedy 0-typo scan has LCS == n, so the O(n*m)
+        # LCS runs only on rows that failed it.
+        greedy_ok, _fp, _pos = greedy_scan()
+        need = np.nonzero(~greedy_ok)[0]
+        matched = greedy_ok.copy()
+        if len(need):
+            sub = hay[need]
+            sub_valid = col[None, :] < lengths[need][:, None]
+            dtype = np.int16 if n < 32000 else np.int32
+            prev = np.zeros((len(need), width + 1), dtype=dtype)
+            tmp = np.zeros((len(need), width + 1), dtype=dtype)
+            for i in range(n):
+                sub_eq = ((sub == self.n_orig[i]) | (sub == self.n_flip[i])) & sub_valid
+                tmp[:, 0] = 0
+                np.multiply(prev[:, :-1] + 1, sub_eq, out=tmp[:, 1:], casting="unsafe")
+                np.maximum.accumulate(tmp, axis=1, out=tmp)
+                np.maximum(prev, tmp, out=prev)
+            lcs = prev[np.arange(len(need)), lengths[need].astype(np.intp)]
+            matched[need] = (lcs + k) >= n
 
         head_eq = np.zeros((n_hay, width), dtype=bool)
         for i in range(min(k + 1, n)):

@@ -1,0 +1,166 @@
+"""Operator-level Spark tests: dedup primitives, similarity search,
+multimodal plumbing, text analysis."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.operators.dedup import (
+    candidate_pairs,
+    embedding_cosine_pairs,
+    exact_duplicates,
+    lsh_bands,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_values,
+)
+from frizbee_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_video_frames,
+)
+from frizbee_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_bucketed_top_k,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "jaqovu the betiwa kunelo of rapozi wemaku and silevo dumora gafiho"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra tail words here"),  # near dup of 0
+        (3, "completely different content zumelo vakira poneti ruwabo"),
+        (4, "another unrelated document tesuvo harimo lobeka wizaqu entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 0
+    assert groups[0].n_dups == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, shingle_k=5, num_perm=64)
+    rows = sigs.collect()
+    assert all(len(r.signature) == 64 for r in rows)
+    by_id = {r.doc_id: tuple(r.signature) for r in rows}
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+
+    bands = lsh_bands(sigs, num_bands=16)
+    pairs, dropped = candidate_pairs(bands, bucket_cap=10)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got and (1, 2) in got
+    assert (3, 4) not in got
+    assert dropped.count() == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["a", "b"])
+    rows = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert 0.5 < rows[(0, 2)] < 1.0
+    assert rows[(0, 3)] < 0.1
+
+
+def test_simhash_banding(spark, docs):
+    sims = simhash_values(docs)
+    rows = {r.doc_id: r.simhash for r in sims.collect()}
+    assert rows[0] == rows[1]
+    pairs = {(r.a, r.b) for r in simhash_candidate_pairs(sims).collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["a", "b"])
+    rows = {(r.a, r.b): r.cosine for r in embedding_cosine_pairs(emb, pairs).collect()}
+    assert rows[(0, 1)] > 0.999
+    assert abs(rows[(0, 2)]) < 1e-6
+
+
+def _random_embeddings(spark, n=200, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def test_brute_force_top_k(spark):
+    emb, vecs = _random_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_top_k(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        order = sorted(range(len(vecs)), key=lambda i: (-round(sims[q, i], 6), i))[:5]
+        want = [(rank + 1, i) for rank, i in enumerate(order)]
+        assert sorted(by_q[q]) == want, q
+
+
+def test_lsh_bucketed_top_k_recall(spark):
+    emb, vecs = _random_embeddings(spark, n=300)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(emb, queries, k=1).collect()
+    approx = lsh_bucketed_top_k(emb, queries, dim=16, k=1, n_planes=4).collect()
+    exact_top = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_top = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    # the query itself is always in its own bucket -> top-1 is the query
+    assert exact_top == approx_top
+
+
+def test_multimodal_metadata_and_features(spark):
+    rows = [
+        (0, "image", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"x" * 500),
+        (1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"y" * 300),
+        (2, "audio", b"RIFF" + b"z" * 2000),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    meta = {r.media_id: r for r in attach_media_metadata(df).collect()}
+    assert meta[0].mime_sniffed == "image/jpeg"
+    assert meta[1].mime_sniffed == "image/png"
+    assert meta[2].mime_sniffed == "audio/wav"
+    assert meta[2].n_bytes == 2004
+
+    feats = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert len(feats) == 3
+    assert len(feats[0].feature) == 16
+    assert feats[2].byte_entropy >= 0.0
+    # deterministic: same payload -> same feature
+    feats2 = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert feats[0].feature == feats2[0].feature
+
+    frames = sample_video_frames(df, every_n_bytes=256, max_frames=4).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert per_media[2] == [0, 1, 2, 3]
+
+
+def test_decoder_stub_raises_without_fake(spark):
+    df = spark.createDataFrame([(0, "image", b"\xff\xd8data")], ["media_id", "kind", "payload"])
+    with pytest.raises(Exception, match="(?i)decod|notimplemented"):
+        decode_and_featurize(df, deterministic_fake=False).collect()
