@@ -24,7 +24,12 @@ from frizbee_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_values,
 )
-from frizbee_spark.operators.match_list import match_list, match_query
+from frizbee_spark.operators.match_list import (
+    match_list,
+    match_list_indices,
+    match_query,
+)
+from frizbee_spark.operators.substring_dedup import substring_dedup_pairs
 from frizbee_spark.operators.similarity import brute_force_top_k
 from frizbee_spark.operators.text import (
     with_lang_guess,
@@ -237,6 +242,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_query(_docs(spark, sf), "spark !window", Config(max_typos=1))
 
     q["match_multi_pattern"] = match_multi_pattern
+
+    def match_indices(spark, sf):
+        docs = _docs(spark, sf).where(F.col("doc_id") < 100)
+        return match_list_indices(docs, "spark join", Config(max_typos=0))
+
+    q["match_indices"] = match_indices
+
+    def substring_dedup(spark, sf):
+        return substring_dedup_pairs(_docs(spark, sf), min_len=48, k=24)
+
+    q["substring_dedup"] = substring_dedup
 
     return q
 

@@ -54,9 +54,22 @@ def dedup_end_to_end(spark, sf_dir: str) -> int:
         "text",
         "lang",
     )
+    from frizbee_spark.pipeline.dedup_pipeline import DedupConfig
+
+    # The sf* documents tables are drawn from a tiny vocabulary, so unrelated
+    # docs share ~0.25 shingle-Jaccard (a boilerplate-heavy corpus profile).
+    # Use the precision-oriented banding (18 bands x 7 rows) + higher verify
+    # threshold; the recall-oriented default stays for real web corpora.
+    config = DedupConfig(
+        num_perm=126,
+        num_bands=18,
+        bucket_cap=64,
+        jaccard_threshold=0.7,
+        sw_gate=0.6,
+    )
     workdir = tempfile.mkdtemp(prefix="frizbee_bench_dedup_")
     try:
-        pipeline = DedupPipeline(spark, workdir)
+        pipeline = DedupPipeline(spark, workdir, config)
         clusters = pipeline.run(pages, resume=False)
         n_docs = clusters.count()
     finally:
@@ -82,6 +95,10 @@ def run_benchmarks(spark, sf_dir: str) -> dict:
         "latest_event_per_user",
         "ann_brute_force",
     ]
+    # warm up the Python UDF workers + JVM codegen so per-query timings
+    # measure the operators, not one-time process startup
+    queries["match_fuzzy"](spark, sf_dir).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]

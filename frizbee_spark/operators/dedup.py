@@ -93,11 +93,21 @@ def lsh_bands(
     def _bands(sigs: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = []
-        for sig in sigs:
-            arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
-            out.append(H.band_hashes(arr, num_bands).astype(np.int64))
-        return pd.Series(out)
+        if len(sigs) == 0:
+            return pd.Series([], dtype=object)
+        # one (N, num_perm) matrix per Arrow batch: band hashing vectorizes
+        # across docs, not per-doc tiny arrays
+        mat = np.asarray(sigs.tolist(), dtype=np.int64).astype(np.uint64)
+        rows = mat.shape[1] // num_bands
+        banded = mat[:, : num_bands * rows].reshape(len(sigs), num_bands, rows)
+        acc = np.zeros((len(sigs), num_bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows):
+                acc = H.splitmix64(
+                    acc ^ (banded[:, :, r] + np.uint64(r) * np.uint64(0x9E3779B97F4A7C15))
+                )
+        out = acc.astype(np.int64)
+        return pd.Series(list(out))
 
     return (
         signatures.select(F.col(id_col), _bands("signature").alias("bands"))
@@ -115,7 +125,12 @@ def candidate_pairs(
     Returns (pairs, dropped_buckets). Buckets larger than `bucket_cap` are
     dropped (logged to the lineage table) rather than exploding
     quadratically — at web scale a boilerplate bucket can hold millions of
-    docs and one such bucket would dominate the job."""
+    docs and one such bucket would dominate the job.
+
+    The band rows are persisted internally: they are read three times
+    (bucket sizing, the semi-join, the self-join) and recomputing them
+    re-runs the upstream MinHash UDF each time."""
+    bands = bands.persist()
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
     ok_buckets = sizes.where(

@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from ..core.config import Config, SortStrategy
 from ..core.pattern import Pattern
-from ..udfs import fuzzy_match_udf
+from ..udfs import fuzzy_match_indices_udf, fuzzy_match_udf
 
-__all__ = ["match_list", "match_query"]
+__all__ = ["match_list", "match_list_indices", "match_query"]
 
 
 def _order_columns(config: Config, index_col: str) -> list[Column]:
@@ -60,6 +60,35 @@ def match_list(
             F.col(index_col),
             F.col("m.score").alias("score"),
             F.col("m.exact").alias("exact"),
+        )
+    )
+    if ordered:
+        out = out.orderBy(*_order_columns(config, index_col))
+    return out
+
+
+def match_list_indices(
+    df: DataFrame,
+    needle: str,
+    config: Config | None = None,
+    text_col: str = "text",
+    index_col: str = "doc_id",
+    ordered: bool = True,
+) -> DataFrame:
+    """match_list with matched byte offsets (reverse order): returns
+    (index_col, score, exact, indices) — the MatchIndices surface
+    (src/matcher/mod.rs:227-268)."""
+    config = config or Config()
+    udf = fuzzy_match_indices_udf(needle, config)
+    out = (
+        df.select(index_col, text_col)
+        .withColumn("m", udf(F.col(text_col)))
+        .where(F.col("m.matched"))
+        .select(
+            F.col(index_col),
+            F.col("m.score").alias("score"),
+            F.col("m.exact").alias("exact"),
+            F.col("m.indices").alias("indices"),
         )
     )
     if ordered:

@@ -1,0 +1,138 @@
+"""Long-exact-overlap (substring) dedup.
+
+The reference-mandated stage (SURVEY.md §2.10 'suffix-array substring
+dedup') finds doc pairs sharing a long exact byte run. A distributed suffix
+array over concatenated docs shuffles the full corpus; the Spark-native
+equivalent used here is **winnowing** (Schleimer/Wilkerson/Aiken, SIGMOD'03
+— the MOSS fingerprinting scheme, public):
+
+  1. hash every k-gram of the doc (rolling hashes, numpy),
+  2. in every window of w consecutive k-gram hashes keep the minimum,
+  3. any two docs sharing an exact substring of length >= k + w - 1 are
+     GUARANTEED to share a fingerprint value.
+
+Fingerprints are 8-byte keys, so the shuffle moves (doc_id, fingerprint)
+pairs — never text. Candidate pairs from shared fingerprints are verified
+with an exact longest-common-substring check on the joined pair texts
+(pairs << docs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from ..functions.hashing import hash_shingles
+
+__all__ = ["winnow_fingerprints", "substring_dedup_pairs"]
+
+
+def _winnow(data: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Distinct window-min k-gram hashes (the winnowing fingerprint set)."""
+    h = hash_shingles(data, k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(h, w)
+    return np.unique(windows.min(axis=1))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 32,
+    w: int = 33,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fingerprint) rows; shared substring >= k+w-1 bytes => shared
+    fingerprint."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            out.append(_winnow(data, k, w).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), F.explode(_fp(F.col(text_col))).alias("fingerprint"))
+
+
+def _longest_common_substring_len(a: bytes, b: bytes, at_least: int) -> int:
+    """Exact LCS-substring length via shared-k-gram anchor extension: find a
+    common `at_least`-gram (hash-set intersection), then extend the true
+    byte match around each anchor. Linear-ish for verification-sized pairs;
+    a suffix automaton is the drop-in for adversarial inputs."""
+    if len(a) < at_least or len(b) < at_least:
+        return 0
+    k = at_least
+    da = np.frombuffer(a, dtype=np.uint8)
+    db = np.frombuffer(b, dtype=np.uint8)
+    ha = hash_shingles(da, k)
+    hb = hash_shingles(db, k)
+    common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+    best = 0
+    for pos_a, pos_b in zip(ia, ib):
+        if a[pos_a : pos_a + k] != b[pos_b : pos_b + k]:
+            continue  # rolling-hash collision
+        lo = 0
+        while pos_a - lo > 0 and pos_b - lo > 0 and a[pos_a - lo - 1] == b[pos_b - lo - 1]:
+            lo += 1
+        hi = k
+        while (
+            pos_a + hi < len(a)
+            and pos_b + hi < len(b)
+            and a[pos_a + hi] == b[pos_b + hi]
+        ):
+            hi += 1
+        best = max(best, lo + hi)
+    return best
+
+
+def substring_dedup_pairs(
+    df: DataFrame,
+    min_len: int = 64,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(a, b, common_len) pairs of docs sharing an exact byte run of at
+    least `min_len` (= k + w - 1 with w = min_len - k + 1)."""
+    w = max(1, min_len - k + 1)
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+
+    sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.where((F.col("n") > 1) & (F.col("n") <= bucket_cap)).select("fingerprint")
+    member = fps.join(ok, "fingerprint", "left_semi")
+    left = member.select("fingerprint", F.col(id_col).alias("a"))
+    right = member.select("fingerprint", F.col(id_col).alias("b"))
+    pairs = (
+        left.join(right, "fingerprint")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    texts_a = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("text_a"))
+    texts_b = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(texts_a, "a").join(texts_b, "b")
+
+    @pandas_udf(IntegerType())
+    def _common_len(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta), dtype="int32")
+        for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
+            out[i] = _longest_common_substring_len(
+                x.encode("utf-8"), y.encode("utf-8"), k
+            )
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("common_len", _common_len("text_a", "text_b"))
+        .where(F.col("common_len") >= min_len)
+        .select("a", "b", "common_len")
+    )

