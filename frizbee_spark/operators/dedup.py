@@ -132,7 +132,7 @@ def candidate_pairs(
     re-runs the upstream MinHash UDF each time."""
     bands = bands.persist()
     key = ["band_id", "band_hash"]
-    sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
+    sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size")).persist()
     ok_buckets = sizes.where(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
     )

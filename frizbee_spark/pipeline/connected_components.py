@@ -63,20 +63,59 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Exact union-find on the driver for modest edge sets. Star contraction
+    costs ~6 shuffles x O(log n) rounds; below ~10M edges (80 MB of longs)
+    a driver pass is strictly faster and byte-identical in result. The
+    distributed path remains for web-scale edge sets."""
+    rows = edges.select("a", "b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = int(r.a), int(r.b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, ["node", "component"])
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iterations: int = 25,
+    driver_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id of the
     component. Input: undirected edge list with columns (a, b).
 
-    When `checkpoint_dir` is given every round persists to parquet
-    (lineage cut + resumable); otherwise localCheckpoint is used."""
+    Edge sets below `driver_threshold` use an exact driver-side union-find
+    (identical output, no iteration shuffles); larger graphs run the
+    distributed star contraction. When `checkpoint_dir` is given every
+    round persists to parquet (lineage cut + resumable); otherwise
+    localCheckpoint is used."""
     cur = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
+
+    if driver_threshold > 0:
+        cur = cur.persist()
+        if cur.count() <= driver_threshold:
+            return _driver_union_find(spark, cur)
 
     prev_sig = None
     for i in range(max_iterations):

@@ -43,8 +43,10 @@ from .connected_components import connected_components
 @dataclass
 class DedupConfig:
     shingle_k: int = 5
-    num_perm: int = 126
-    num_bands: int = 42  # 42 bands x 3 rows: P(candidate | jaccard 0.6) > 0.9999
+    num_perm: int = 128
+    #: 32 bands x 4 rows: P(candidate | jaccard 0.7) > 0.9997 while keeping
+    #: the false-candidate rate at background jaccard ~0.05 near 1e-4
+    num_bands: int = 32
     bucket_cap: int = 128
     jaccard_threshold: float = 0.5
     #: pairs with jaccard in [sw_gate, threshold) get SW-kernel verification;
@@ -149,116 +151,24 @@ class DedupPipeline:
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_buckets"),
             F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_members"),
         ).collect()[0]
-        self._record_scalar("pairs.dropped_buckets", int(dropped_counts["n_buckets"]))
-        self._record_scalar("pairs.dropped_members", int(dropped_counts["n_members"]))
+        self._record_scalars(
+            [
+                ("pairs.dropped_buckets", int(dropped_counts["n_buckets"])),
+                ("pairs.dropped_members", int(dropped_counts["n_members"])),
+            ]
+        )
         return pairs
 
-    def _record_scalar(self, name: str, value: int) -> None:
-        row = self.spark.createDataFrame(
-            [(name, -1, value)], ["stage", "partition_id", "rows"]
+    def _record_scalars(self, items: list[tuple[str, int]]) -> None:
+        rows = [(name, -1, value) for name, value in items]
+        self.spark.createDataFrame(
+            rows, ["stage", "partition_id", "rows"]
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(self.workdir, "_lineage")
         )
-        row.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
 
     def _stage_verify(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
-        """Candidate-pair verification: exact n-gram Jaccard plus the
-        frizbee SW kernel on bounded windows (needle = 256B prefix of the
-        shorter text, haystack = 1024B window of the other).
-
-        accept = jaccard >= threshold OR sw_ratio >= threshold — Jaccard is
-        the primary signal at identical shingle config; the SW ratio
-        catches typo-level rewrites that shift many shingles at once."""
-        c = self.config
-        shingle_k = c.shingle_k
-        window = c.sw_window
-        sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
-
-        # shingle sets are computed ONCE per doc (pairs can repeat a doc many
-        # times); the pairwise intersection itself runs JVM-side
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import ArrayType, DoubleType, LongType
-
-        @pandas_udf(ArrayType(LongType()))
-        def shingles_udf(texts: pd.Series) -> pd.Series:
-            from ..functions.hashing import hash_shingles
-
-            out = []
-            for t in texts.fillna(""):
-                data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
-            return pd.Series(out)
-
-        # only docs that participate in pairs need shingles or texts
-        pair_ids = (
-            pairs.select(F.col("a").alias("doc_id"))
-            .unionAll(pairs.select(F.col("b").alias("doc_id")))
-            .distinct()
-        )
-        pair_docs = (
-            docs.join(pair_ids, "doc_id", "left_semi")
-            .select(
-                "doc_id",
-                "text",
-                shingles_udf(F.col("text")).alias("sh"),
-            )
-            .persist()
-        )
-        texts_a = pair_docs.select(
-            F.col("doc_id").alias("a"),
-            F.col("text").alias("text_a"),
-            F.col("sh").alias("sh_a"),
-        )
-        texts_b = pair_docs.select(
-            F.col("doc_id").alias("b"),
-            F.col("text").alias("text_b"),
-            F.col("sh").alias("sh_b"),
-        )
-        joined = pairs.join(texts_a, "a").join(texts_b, "b")
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        joined = joined.withColumn(
-            "jaccard",
-            F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)).otherwise(
-                F.round(inter / F.greatest(union, F.lit(1)), 6)
-            ),
-        )
-
-        @pandas_udf(DoubleType())
-        def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-            from ..kernel import match_batch
-
-            out = np.zeros(len(ta))
-            ta = ta.fillna("")
-            tb = tb.fillna("")
-            for i, (x, y) in enumerate(zip(ta, tb)):
-                short, other = (x, y) if len(x) <= len(y) else (y, x)
-                needle = short[:window]
-                if not needle:
-                    out[i] = 1.0
-                    continue
-                hay = other[: 4 * window]
-                res = match_batch(needle, [hay, needle], sw_config)
-                self_score = int(res.score[1])
-                out[i] = int(res.score[0]) / self_score if self_score else 0.0
-            return pd.Series(out)
-
-        scored = joined
-        # split so the expensive SW kernel only ever sees borderline pairs —
-        # a WHEN around a UDF would still evaluate it for every row
-        accepted = scored.where(F.col("jaccard") >= c.jaccard_threshold).select(
-            "a", "b", "jaccard", F.lit(1.0).alias("sw_ratio")
-        )
-        borderline = scored.where(
-            (F.col("jaccard") >= c.sw_gate)
-            & (F.col("jaccard") < c.jaccard_threshold)
-        )
-        rescued = (
-            borderline.withColumn(
-                "sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6)
-            )
-            .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
-            .select("a", "b", "jaccard", "sw_ratio")
-        )
-        return accepted.unionByName(rescued)
+        return verify_pairs(pairs, docs, self.config)
 
     def _stage_components(self, edges: DataFrame) -> DataFrame:
         cc_dir = os.path.join(self.workdir, "_cc_checkpoints")
@@ -334,3 +244,140 @@ class DedupPipeline:
                 "clusters", self._stage_clusters(docs, self._read("components"))
             )
         return self._read("clusters")
+
+
+def verify_pairs(pairs: DataFrame, docs: DataFrame, config: DedupConfig) -> DataFrame:
+    """Candidate-pair verification: exact n-gram Jaccard plus the frizbee SW
+    kernel on bounded windows (needle = 256B prefix of the shorter text,
+    haystack = 1024B window of the other).
+
+    accept = jaccard >= threshold OR sw_ratio >= threshold — Jaccard is the
+    primary signal at identical shingle config; the SW ratio catches
+    typo-level rewrites that shift many shingles at once."""
+    c = config
+    pairs = pairs.persist()  # read three times: id semi-join + two text joins
+
+    shingle_k = c.shingle_k
+    window = c.sw_window
+    sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
+
+    # shingle sets are computed ONCE per doc (pairs can repeat a doc many
+    # times); the pairwise intersection itself runs JVM-side
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingles_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.hashing import hash_shingles
+
+        out = []
+        for t in texts.fillna(""):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
+        return pd.Series(out)
+
+    # only docs that participate in pairs need shingles or texts
+    pair_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    pair_docs = (
+        docs.join(pair_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "text",
+            shingles_udf(F.col("text")).alias("sh"),
+        )
+        .persist()
+    )
+    texts_a = pair_docs.select(
+        F.col("doc_id").alias("a"),
+        F.col("text").alias("text_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    texts_b = pair_docs.select(
+        F.col("doc_id").alias("b"),
+        F.col("text").alias("text_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    joined = pairs.join(texts_a, "a").join(texts_b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    joined = joined.withColumn(
+        "jaccard",
+        F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)).otherwise(
+            F.round(inter / F.greatest(union, F.lit(1)), 6)
+        ),
+    )
+
+    @pandas_udf(DoubleType())
+    def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        from ..kernel import match_batch
+
+        out = np.zeros(len(ta))
+        ta = ta.fillna("")
+        tb = tb.fillna("")
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            short, other = (x, y) if len(x) <= len(y) else (y, x)
+            needle = short[:window]
+            if not needle:
+                out[i] = 1.0
+                continue
+            hay = other[: 4 * window]
+            res = match_batch(needle, [hay, needle], sw_config)
+            self_score = int(res.score[1])
+            out[i] = int(res.score[0]) / self_score if self_score else 0.0
+        return pd.Series(out)
+
+    scored = joined
+    # split so the expensive SW kernel only ever sees borderline pairs —
+    # a WHEN around a UDF would still evaluate it for every row
+    accepted = scored.where(F.col("jaccard") >= c.jaccard_threshold).select(
+        "a", "b", "jaccard", F.lit(1.0).alias("sw_ratio")
+    )
+    borderline = scored.where(
+        (F.col("jaccard") >= c.sw_gate)
+        & (F.col("jaccard") < c.jaccard_threshold)
+    )
+    rescued = (
+        borderline.withColumn(
+            "sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6)
+        )
+        .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
+        .select("a", "b", "jaccard", "sw_ratio")
+    )
+    return accepted.unionByName(rescued)
+
+
+def dedup_pages_single_dag(
+    spark: SparkSession, pages: DataFrame, config: DedupConfig | None = None
+) -> DataFrame:
+    """The same dedup job as DedupPipeline but as one lazy DAG with in-memory
+    persists instead of per-stage parquet checkpoints — used for throughput /
+    scaling measurement where stage-materialization IO would otherwise
+    dominate small runs. Returns the cluster table (url, doc_id, cluster_id)."""
+    c = config or DedupConfig()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    docs = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
+        .persist()
+    )
+    sigs = minhash_signatures(
+        docs, text_col="text", id_col="doc_id",
+        shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
+    )
+    bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
+    pairs, _dropped = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
+    verified = verify_pairs(pairs, docs, c)
+    components = connected_components(spark, verified.select("a", "b"))
+    clusters = docs.join(
+        components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "url", "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    return clusters

@@ -128,6 +128,76 @@ def generate_corpus(
     return SyntheticCorpus(pages=pages, dup_pairs=dup_pairs, clusters=clusters)
 
 
+def _pages_for_base(base_idx: int, seed: int, dup_rate: float, max_variants: int,
+                    min_words: int, max_words: int) -> list[tuple]:
+    """All pages (base + near-dup variants) for one base doc, deterministic
+    in (seed, base_idx) alone — generation order independent."""
+    rng = random.Random(seed * 1_000_003 + base_idx)
+    t0 = datetime(2025, 1, 1)
+    langs = ["en", "en", "en", "de", "es", "fr"]
+    text = _base_text(rng, rng.randint(min_words, max_words))
+    lang = rng.choice(langs)
+    urls = [f"https://site{base_idx % 37}.example/page/{base_idx}"]
+    texts = [text]
+    if rng.random() < dup_rate:
+        for v in range(rng.randint(1, max_variants)):
+            urls.append(f"https://mirror{v}.site{base_idx % 37}.example/page/{base_idx}")
+            texts.append(_near_dup(rng, text))
+    out = []
+    for url, t in zip(urls, texts):
+        ts = t0 + timedelta(seconds=rng.randint(0, 10_000_000))
+        html = f"<html><body><p>{t}</p></body></html>".encode()
+        out.append((url, ts, html, t, lang, base_idx))
+    return out
+
+
+def generate_pages_distributed(
+    spark,
+    n_base: int,
+    dup_rate: float = 0.3,
+    max_variants: int = 3,
+    seed: int = 1234,
+    min_words: int = 100,
+    max_words: int = 500,
+    partitions: int | None = None,
+):
+    """Executor-side corpus generation for large scaling runs: the base-doc
+    index range is parallelized and each base doc is generated from its own
+    (seed, base_idx) rng, so output is deterministic regardless of
+    partitioning or cluster size. Includes ground-truth `cluster_truth`."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampType(), False),
+            StructField("html", BinaryType(), False),
+            StructField("text", StringType(), False),
+            StructField("lang", StringType(), False),
+            StructField("cluster_truth", IntegerType(), False),
+        ]
+    )
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(indices):
+        for base_idx in indices:
+            yield from _pages_for_base(
+                base_idx, seed, dup_rate, max_variants, min_words, max_words
+            )
+
+    rdd = spark.sparkContext.parallelize(range(n_base), parts).mapPartitions(
+        lambda it: gen(it)
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def corpus_to_df(spark, corpus: SyntheticCorpus):
     """Materialize as a Spark DataFrame with the input_hint schema."""
     from pyspark.sql.types import (

@@ -42,14 +42,22 @@ def test_connected_components_vs_union_find(spark, tmp_path):
         edges.add((min(a, b), max(a, b)))
     edges = sorted(edges)
     df = spark.createDataFrame(edges, ["a", "b"])
-    got = {
-        r.node: r.component
-        for r in connected_components(spark, df, str(tmp_path / "cc")).collect()
-    }
     want = _union_find_clusters(edges, nodes)
     touched = {n for e in edges for n in e}
+    # distributed star-contraction path
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            spark, df, str(tmp_path / "cc"), driver_threshold=0
+        ).collect()
+    }
     for n in touched:
         assert got[n] == want[n], n
+    # driver union-find fast path must produce the identical assignment
+    got_driver = {
+        r.node: r.component for r in connected_components(spark, df).collect()
+    }
+    assert got_driver == got
 
 
 @pytest.fixture(scope="module")
