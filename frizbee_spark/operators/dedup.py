@@ -127,10 +127,12 @@ def candidate_pairs(
     quadratically — at web scale a boilerplate bucket can hold millions of
     docs and one such bucket would dominate the job.
 
-    The band rows are persisted internally: they are read three times
-    (bucket sizing, the semi-join, the self-join) and recomputing them
-    re-runs the upstream MinHash UDF each time."""
+    The band rows are persisted AND eagerly materialized: they are read
+    three times (bucket sizing, the semi-join, the self-join), and a lazy
+    persist would let the concurrent stages of one job race the cache and
+    re-run the upstream MinHash UDF chain up to three times."""
     bands = bands.persist()
+    bands.count()
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size")).persist()
     ok_buckets = sizes.where(
@@ -238,7 +240,8 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col), _shingles(F.col(text_col)).alias("sh"))
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a_sh, "a").join(b_sh, "b")
+    # merge hint: shingle arrays are wide; never broadcast them
+    joined = pairs.join(a_sh.hint("merge"), "a").join(b_sh.hint("merge"), "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
@@ -258,7 +261,7 @@ def embedding_cosine_pairs(
     computed with JVM-side higher-order functions (zip_with + aggregate)."""
     a_e = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b_e = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    joined = pairs.join(a_e, "a").join(b_e, "b")
+    joined = pairs.join(a_e.hint("merge"), "a").join(b_e.hint("merge"), "b")
 
     def dot(x, y):
         return F.aggregate(

@@ -276,40 +276,41 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, config: DedupConfig) -> Data
             out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
         return pd.Series(out)
 
-    # only docs that participate in pairs need shingles or texts
+    # only docs that participate in pairs need shingles
     pair_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .unionAll(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    pair_docs = (
-        docs.join(pair_ids, "doc_id", "left_semi")
+    pair_docs = docs.join(pair_ids, "doc_id", "left_semi").persist()
+    sh_docs = pair_docs.select(
+        "doc_id", shingles_udf(F.col("text")).alias("sh")
+    ).persist()
+    sh_docs.count()  # eager: both sides of the pair join read it concurrently
+
+    # merge-join hint: the shingle-array side looks small by row count but
+    # is wide (shingle_count x 8B per row); letting AQE broadcast it OOMs
+    # the driver and rebuilds a 100MB hash table per task. Sort-merge on the
+    # 8-byte id key is the scale-safe plan. The wide arrays are dropped
+    # immediately after the intersection, so downstream shuffles are slim
+    # (a, b, jaccard) rows.
+    sh_a = sh_docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = (
+        pairs.join(sh_a.hint("merge"), "a")
+        .join(sh_b.hint("merge"), "b")
         .select(
-            "doc_id",
-            "text",
-            shingles_udf(F.col("text")).alias("sh"),
+            "a",
+            "b",
+            F.when(
+                (F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)
+            ).otherwise(F.round(inter / F.greatest(union, F.lit(1)), 6)).alias("jaccard"),
         )
         .persist()
     )
-    texts_a = pair_docs.select(
-        F.col("doc_id").alias("a"),
-        F.col("text").alias("text_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    texts_b = pair_docs.select(
-        F.col("doc_id").alias("b"),
-        F.col("text").alias("text_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    joined = pairs.join(texts_a, "a").join(texts_b, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    joined = joined.withColumn(
-        "jaccard",
-        F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)).otherwise(
-            F.round(inter / F.greatest(union, F.lit(1)), 6)
-        ),
-    )
+    jac.count()  # eager: read by both the accept and borderline branches
 
     @pandas_udf(DoubleType())
     def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -330,20 +331,20 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, config: DedupConfig) -> Data
             out[i] = int(res.score[0]) / self_score if self_score else 0.0
         return pd.Series(out)
 
-    scored = joined
-    # split so the expensive SW kernel only ever sees borderline pairs —
-    # a WHEN around a UDF would still evaluate it for every row
-    accepted = scored.where(F.col("jaccard") >= c.jaccard_threshold).select(
+    accepted = jac.where(F.col("jaccard") >= c.jaccard_threshold).select(
         "a", "b", "jaccard", F.lit(1.0).alias("sw_ratio")
     )
-    borderline = scored.where(
-        (F.col("jaccard") >= c.sw_gate)
-        & (F.col("jaccard") < c.jaccard_threshold)
+    # texts are joined only for the (small) borderline set that needs the
+    # SW kernel; a WHEN around a UDF would still evaluate it for every row
+    borderline = jac.where(
+        (F.col("jaccard") >= c.sw_gate) & (F.col("jaccard") < c.jaccard_threshold)
     )
+    texts_a = pair_docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    texts_b = pair_docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     rescued = (
-        borderline.withColumn(
-            "sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6)
-        )
+        borderline.join(texts_a.hint("merge"), "a")
+        .join(texts_b.hint("merge"), "b")
+        .withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
         .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
         .select("a", "b", "jaccard", "sw_ratio")
     )
@@ -367,13 +368,16 @@ def dedup_pages_single_dag(
         .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
         .persist()
     )
+    docs.count()  # eager: read by signatures, verify, and the final join
     sigs = minhash_signatures(
         docs, text_col="text", id_col="doc_id",
         shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
     )
     bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
     pairs, _dropped = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
-    verified = verify_pairs(pairs, docs, c)
+    pairs = pairs.persist()
+    pairs.count()  # eager: verify reads pairs three times
+    verified = verify_pairs(pairs, docs, c).persist()
     components = connected_components(spark, verified.select("a", "b"))
     clusters = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
