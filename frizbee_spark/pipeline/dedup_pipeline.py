@@ -168,7 +168,9 @@ class DedupPipeline:
         )
 
     def _stage_verify(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
-        return verify_pairs(pairs, docs, self.config)
+        return verify_pairs(
+            pairs, docs, self.config, signatures=self._read("signatures")
+        )
 
     def _stage_components(self, edges: DataFrame) -> DataFrame:
         cc_dir = os.path.join(self.workdir, "_cc_checkpoints")
@@ -246,71 +248,87 @@ class DedupPipeline:
         return self._read("clusters")
 
 
-def verify_pairs(pairs: DataFrame, docs: DataFrame, config: DedupConfig) -> DataFrame:
-    """Candidate-pair verification: exact n-gram Jaccard plus the frizbee SW
-    kernel on bounded windows (needle = 256B prefix of the shorter text,
-    haystack = 1024B window of the other).
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    config: DedupConfig,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-pair verification, cheapest-signal-first (the reference's
+    own staging philosophy, matcher/algo.rs: length filter -> prefilter ->
+    SW):
 
-    accept = jaccard >= threshold OR sw_ratio >= threshold — Jaccard is the
-    primary signal at identical shingle config; the SW ratio catches
-    typo-level rewrites that shift many shingles at once."""
+    1. MinHash-estimated Jaccard from the already-computed signatures
+       (128 x 8B per doc — ~15x smaller than shingle sets). est error is
+       ~sqrt(j(1-j)/128) <= 0.045, so pairs with est far from the decision
+       boundary are accepted/rejected outright.
+    2. exact n-gram Jaccard (numpy set intersection in a pandas UDF) only
+       for the narrow est-boundary band.
+    3. the frizbee SW kernel on bounded windows only for exact-jaccard
+       borderline pairs (typo-level rewrites that shift many shingles).
+
+    Returns (a, b, jaccard, sw_ratio) for accepted pairs."""
     c = config
-    pairs = pairs.persist()  # read three times: id semi-join + two text joins
-
     shingle_k = c.shingle_k
     window = c.sw_window
     sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
+    est_hi = c.jaccard_threshold + 0.12
+    est_lo = max(0.0, c.sw_gate - 0.08)
 
-    # shingle sets are computed ONCE per doc (pairs can repeat a doc many
-    # times); the pairwise intersection itself runs JVM-side
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, LongType
+    from pyspark.sql.types import DoubleType
 
-    @pandas_udf(ArrayType(LongType()))
-    def shingles_udf(texts: pd.Series) -> pd.Series:
-        from ..functions.hashing import hash_shingles
-
-        out = []
-        for t in texts.fillna(""):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
-        return pd.Series(out)
-
-    # only docs that participate in pairs need shingles
-    pair_ids = (
-        pairs.select(F.col("a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    pair_docs = docs.join(pair_ids, "doc_id", "left_semi").persist()
-    sh_docs = pair_docs.select(
-        "doc_id", shingles_udf(F.col("text")).alias("sh")
-    ).persist()
-    sh_docs.count()  # eager: both sides of the pair join read it concurrently
-
-    # merge-join hint: the shingle-array side looks small by row count but
-    # is wide (shingle_count x 8B per row); letting AQE broadcast it OOMs
-    # the driver and rebuilds a 100MB hash table per task. Sort-merge on the
-    # 8-byte id key is the scale-safe plan. The wide arrays are dropped
-    # immediately after the intersection, so downstream shuffles are slim
-    # (a, b, jaccard) rows.
-    sh_a = sh_docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = (
-        pairs.join(sh_a.hint("merge"), "a")
-        .join(sh_b.hint("merge"), "b")
-        .select(
-            "a",
-            "b",
-            F.when(
-                (F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0)
-            ).otherwise(F.round(inter / F.greatest(union, F.lit(1)), 6)).alias("jaccard"),
+    pairs = pairs.persist()
+    if signatures is None:
+        signatures = minhash_signatures(
+            docs, text_col="text", id_col="doc_id",
+            shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
         )
+
+    sig_a = signatures.select(F.col("doc_id").alias("a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col("doc_id").alias("b"), F.col("signature").alias("sig_b"))
+
+    @pandas_udf(DoubleType())
+    def est_jaccard_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if len(sa) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.asarray(sa.tolist(), dtype=np.int64)
+        mb = np.asarray(sb.tolist(), dtype=np.int64)
+        return pd.Series((ma == mb).mean(axis=1))
+
+    est = (
+        pairs.join(sig_a.hint("merge"), "a")
+        .join(sig_b.hint("merge"), "b")
+        .select("a", "b", F.round(est_jaccard_udf("sig_a", "sig_b"), 6).alias("est"))
         .persist()
     )
-    jac.count()  # eager: read by both the accept and borderline branches
+    est.count()  # eager: three branches read it
+
+    accepted_est = est.where(F.col("est") >= est_hi).select(
+        "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
+    )
+    middle = est.where((F.col("est") >= est_lo) & (F.col("est") < est_hi))
+
+    # exact shingle Jaccard + SW rescue for the est-boundary band only
+    texts_a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    texts_b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    mid_texts = middle.join(texts_a.hint("merge"), "a").join(texts_b.hint("merge"), "b")
+
+    @pandas_udf(DoubleType())
+    def exact_jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        from ..functions.hashing import hash_shingles
+
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
+            sa = np.unique(hash_shingles(np.frombuffer(x.encode(), dtype=np.uint8), shingle_k))
+            sb = np.unique(hash_shingles(np.frombuffer(y.encode(), dtype=np.uint8), shingle_k))
+            if len(sa) == 0 and len(sb) == 0:
+                out[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
 
     @pandas_udf(DoubleType())
     def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -331,25 +349,21 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, config: DedupConfig) -> Data
             out[i] = int(res.score[0]) / self_score if self_score else 0.0
         return pd.Series(out)
 
-    accepted = jac.where(F.col("jaccard") >= c.jaccard_threshold).select(
-        "a", "b", "jaccard", F.lit(1.0).alias("sw_ratio")
-    )
-    # texts are joined only for the (small) borderline set that needs the
-    # SW kernel; a WHEN around a UDF would still evaluate it for every row
-    borderline = jac.where(
+    mid_scored = mid_texts.withColumn(
+        "jaccard", F.round(exact_jaccard_udf("text_a", "text_b"), 6)
+    ).persist()
+    accepted_exact = mid_scored.where(
+        F.col("jaccard") >= c.jaccard_threshold
+    ).select("a", "b", "jaccard", F.lit(1.0).alias("sw_ratio"))
+    borderline = mid_scored.where(
         (F.col("jaccard") >= c.sw_gate) & (F.col("jaccard") < c.jaccard_threshold)
     )
-    texts_a = pair_docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    texts_b = pair_docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     rescued = (
-        borderline.join(texts_a.hint("merge"), "a")
-        .join(texts_b.hint("merge"), "b")
-        .withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
+        borderline.withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
         .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
         .select("a", "b", "jaccard", "sw_ratio")
     )
-    return accepted.unionByName(rescued)
-
+    return accepted_est.unionByName(accepted_exact).unionByName(rescued)
 
 def dedup_pages_single_dag(
     spark: SparkSession, pages: DataFrame, config: DedupConfig | None = None
@@ -372,12 +386,12 @@ def dedup_pages_single_dag(
     sigs = minhash_signatures(
         docs, text_col="text", id_col="doc_id",
         shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
-    )
+    ).persist()
     bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
     pairs, _dropped = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
     pairs = pairs.persist()
     pairs.count()  # eager: verify reads pairs three times
-    verified = verify_pairs(pairs, docs, c).persist()
+    verified = verify_pairs(pairs, docs, c, signatures=sigs).persist()
     components = connected_components(spark, verified.select("a", "b"))
     clusters = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
