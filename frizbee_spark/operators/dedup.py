@@ -97,7 +97,7 @@ def lsh_bands(
             return pd.Series([], dtype=object)
         # one (N, num_perm) matrix per Arrow batch: band hashing vectorizes
         # across docs, not per-doc tiny arrays
-        mat = np.asarray(sigs.tolist(), dtype=np.int64).astype(np.uint64)
+        mat = np.stack(sigs.to_numpy()).astype(np.uint64)
         rows = mat.shape[1] // num_bands
         banded = mat[:, : num_bands * rows].reshape(len(sigs), num_bands, rows)
         acc = np.zeros((len(sigs), num_bands), dtype=np.uint64)

@@ -292,8 +292,8 @@ def verify_pairs(
     def est_jaccard_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         if len(sa) == 0:
             return pd.Series([], dtype=float)
-        ma = np.asarray(sa.tolist(), dtype=np.int64)
-        mb = np.asarray(sb.tolist(), dtype=np.int64)
+        ma = np.stack(sa.to_numpy())
+        mb = np.stack(sb.to_numpy())
         return pd.Series((ma == mb).mean(axis=1))
 
     est = (
@@ -382,16 +382,13 @@ def dedup_pages_single_dag(
         .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
         .persist()
     )
-    docs.count()  # eager: read by signatures, verify, and the final join
     sigs = minhash_signatures(
         docs, text_col="text", id_col="doc_id",
         shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
     ).persist()
     bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
     pairs, _dropped = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
-    pairs = pairs.persist()
-    pairs.count()  # eager: verify reads pairs three times
-    verified = verify_pairs(pairs, docs, c, signatures=sigs).persist()
+    verified = verify_pairs(pairs, docs, c, signatures=sigs)
     components = connected_components(spark, verified.select("a", "b"))
     clusters = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"

@@ -25,7 +25,7 @@ from pathlib import Path
 
 REPO = Path(__file__).parent.parent
 CORPUS = os.environ.get("SCALING_CORPUS", "/tmp/frizbee_scaling_corpus.parquet")
-N_BASE = int(os.environ.get("SCALING_N_BASE", "60000"))
+N_BASE = int(os.environ.get("SCALING_N_BASE", "240000"))
 
 
 def _build_spark(cpus: int):
@@ -34,8 +34,8 @@ def _build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"frizbee-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(8, cpus * 2)))
-        .config("spark.default.parallelism", str(max(8, cpus * 2)))
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.default.parallelism", str(max(8, cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
