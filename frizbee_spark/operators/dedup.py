@@ -240,8 +240,12 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col), _shingles(F.col(text_col)).alias("sh"))
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    # merge hint: shingle arrays are wide; never broadcast them
-    joined = pairs.join(a_sh.hint("merge"), "a").join(b_sh.hint("merge"), "b")
+    # hash-join with the slim pairs side as build; never broadcast or sort
+    # the wide shingle arrays
+    joined = (
+        pairs.hint("shuffle_hash").join(a_sh, "a")
+        .hint("shuffle_hash").join(b_sh, "b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
@@ -261,7 +265,10 @@ def embedding_cosine_pairs(
     computed with JVM-side higher-order functions (zip_with + aggregate)."""
     a_e = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b_e = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    joined = pairs.join(a_e.hint("merge"), "a").join(b_e.hint("merge"), "b")
+    joined = (
+        pairs.hint("shuffle_hash").join(a_e, "a")
+        .hint("shuffle_hash").join(b_e, "b")
+    )
 
     def dot(x, y):
         return F.aggregate(

@@ -297,8 +297,8 @@ def verify_pairs(
         return pd.Series((ma == mb).mean(axis=1))
 
     est = (
-        pairs.join(sig_a.hint("merge"), "a")
-        .join(sig_b.hint("merge"), "b")
+        pairs.hint("shuffle_hash").join(sig_a, "a")
+        .hint("shuffle_hash").join(sig_b, "b")
         .select("a", "b", F.round(est_jaccard_udf("sig_a", "sig_b"), 6).alias("est"))
         .persist()
     )
@@ -312,7 +312,10 @@ def verify_pairs(
     # exact shingle Jaccard + SW rescue for the est-boundary band only
     texts_a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     texts_b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    mid_texts = middle.join(texts_a.hint("merge"), "a").join(texts_b.hint("merge"), "b")
+    mid_texts = (
+        middle.hint("shuffle_hash").join(texts_a, "a")
+        .hint("shuffle_hash").join(texts_b, "b")
+    )
 
     @pandas_udf(DoubleType())
     def exact_jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:

@@ -39,7 +39,7 @@ def _build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", os.environ.get("SCALING_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
 
@@ -127,9 +127,9 @@ def main() -> None:
         "",
         f"Deterministic synthetic Common-Crawl-style corpus ({low['n_docs']:,} pages,",
         f"{N_BASE:,} base docs + planted near-dup variants, seed 1234), shared",
-        "parquet input. Job = extract -> MinHash(126 perms) -> LSH(42x3) ->",
-        "capped candidate pairs -> Jaccard+SW verify -> connected components",
-        "-> cluster table (single DAG, in-memory persists).",
+        "parquet input. Job = extract -> MinHash(128 perms) -> LSH(32x4) ->",
+        "capped candidate pairs -> est/exact-Jaccard + SW verify -> connected",
+        "components -> cluster table (single DAG, in-memory persists).",
         "",
         "## Results",
         "",
