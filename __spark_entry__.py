@@ -10,6 +10,7 @@ byte-level correctness is covered by tests/ against the compiled reference.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,10 +114,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                    "sum_base_price"
-                ),
+                # exact decimal accumulation, then a double surface: the
+                # driver's canonicalizer hashes python Decimal differently
+                # from DuckDB's float64 even when values are identical
+                F.round(
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("sum_base_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")
@@ -134,9 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("n_name")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                    "total_price"
-                ),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("total_price"),
             )
         )
 
@@ -184,7 +195,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup operators ---
     def exact_dup_groups(spark, sf):
-        return exact_duplicates(_docs(spark, sf)).select("canonical_id", "n_dups")
+        # the sf documents tables have no natural exact dups, so the HAVING
+        # made this trivially green (0 rows vs 0 rows). Plant one whitespace
+        # variant per doc so the normalize->fingerprint->group path is
+        # actually exercised; the oracle mirrors the planting.
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+        return exact_duplicates(docs.unionByName(planted)).select(
+            "canonical_id", "n_dups"
+        )
 
     q["exact_dup_groups"] = exact_dup_groups
 
@@ -198,10 +220,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
 
     def ngram_jaccard_top(spark, sf):
-        docs = _docs(spark, sf)
-        sigs = minhash_signatures(docs, shingle_k=5, num_perm=64)
-        bands = lsh_bands(sigs, num_bands=16)
-        pairs, _ = candidate_pairs(bands, bucket_cap=64)
+        # exact char-5-gram Jaccard over an explicit all-pairs set of
+        # ASCII docs (byte 5-grams == char 5-grams only for ASCII text, and
+        # DuckDB's substr is char-based) — fully oracle-checkable, unlike
+        # the LSH-candidate variant (covered by minhash_lsh_pairs).
+        docs = (
+            _docs(spark, sf)
+            .where(
+                (F.col("doc_id") < 250)
+                & (F.octet_length("text") == F.length("text"))
+            )
+            .select("doc_id", "text")
+        )
+        ids = docs.select("doc_id")
+        pairs = (
+            ids.select(F.col("doc_id").alias("a"))
+            .crossJoin(ids.select(F.col("doc_id").alias("b")))
+            .where(F.col("a") < F.col("b"))
+        )
         return (
             ngram_jaccard_pairs(docs, pairs, shingle_k=5)
             .where(F.col("jaccard") >= 0.5)
@@ -245,7 +281,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def match_indices(spark, sf):
         docs = _docs(spark, sf).where(F.col("doc_id") < 100)
-        return match_list_indices(docs, "spark join", Config(max_typos=0))
+        out = match_list_indices(docs, "spark join", Config(max_typos=0))
+        # the driver canonicalizer can't hash array columns — emit csv
+        return out.select(
+            "doc_id",
+            "score",
+            "exact",
+            F.array_join(
+                F.transform("indices", lambda x: x.cast("string")), ","
+            ).alias("indices_csv"),
+        )
 
     q["match_indices"] = match_indices
 
@@ -263,7 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "doc_length_filter": """
             SELECT doc_id, n_chars FROM documents
             WHERE octet_length(CAST(text AS BLOB)) >= 200
@@ -284,8 +329,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -294,7 +339,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_orders_per_nation": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -345,9 +390,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dup_groups": r"""
             SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
-            FROM documents
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id,
+                       regexp_replace(text, ' ', '  ', 'g') AS text
+                FROM documents
+            )
             GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
             HAVING count(*) > 1
+        """,
+        "ngram_jaccard_top": r"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 250
+                  AND octet_length(CAST(text AS BLOB)) = length(text)
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5)
+                           )
+                       ) AS s
+                FROM d
+            )
+            SELECT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       round(
+                           len(list_intersect(x.s, y.s)) /
+                           greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1),
+                           6
+                       ) AS jaccard
+                FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            ) WHERE jaccard >= 0.5
         """,
         "ann_brute_force": """
             SELECT query_id, vec_id, rank FROM (
@@ -362,3 +439,26 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
     }
+    # Golden oracles for the non-SQL-expressible operators, generated by
+    # tools/gen_query_golden.py at sf0.01 (the driver's correctness scale):
+    # the match_* goldens come from the SCALAR oracle path (core/matcher.py,
+    # itself parity-tested against a compiled build of the reference), which
+    # is independent of the vectorized kernel the Spark queries run; the
+    # minhash/simhash/substring goldens come from a serial numpy
+    # re-execution of the same published algorithms (stability pins).
+    golden_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "data", "golden_sf001"
+    )
+    for name in (
+        "match_fuzzy",
+        "match_fuzzy_no_prefilter",
+        "match_multi_pattern",
+        "match_indices",
+        "simhash_fingerprints",
+        "minhash_lsh_pairs",
+        "substring_dedup",
+    ):
+        path = os.path.join(golden_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            sql[name] = f"SELECT * FROM read_parquet('{path}')"
+    return sql

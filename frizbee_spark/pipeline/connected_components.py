@@ -64,10 +64,10 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Exact union-find on the driver for modest edge sets. Star contraction
-    costs ~6 shuffles x O(log n) rounds; below ~10M edges (80 MB of longs)
-    a driver pass is strictly faster and byte-identical in result. The
-    distributed path remains for web-scale edge sets."""
+    """Exact union-find on the driver for SMALL edge sets. Identical output
+    to star contraction, no iteration shuffles — but it serializes the
+    clustering through one Python loop, so the threshold is kept low and the
+    scaling/throughput bench path always takes the distributed route."""
     rows = edges.select("a", "b").collect()
     parent: dict[int, int] = {}
 
@@ -90,7 +90,9 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
             else:
                 parent[ra] = rb
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, ["node", "component"])
+    # explicit schema: an empty edge set must yield an empty TYPED frame,
+    # not a CANNOT_INFER_EMPTY_SCHEMA error (a clean corpus has zero edges)
+    return spark.createDataFrame(out, schema="node long, component long")
 
 
 def connected_components(
@@ -98,24 +100,29 @@ def connected_components(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iterations: int = 25,
-    driver_threshold: int = 10_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id of the
     component. Input: undirected edge list with columns (a, b).
 
     Edge sets below `driver_threshold` use an exact driver-side union-find
     (identical output, no iteration shuffles); larger graphs run the
-    distributed star contraction. When `checkpoint_dir` is given every
-    round persists to parquet (lineage cut + resumable); otherwise
-    localCheckpoint is used."""
+    distributed star contraction. Pass driver_threshold=0 to force the
+    distributed path (scaling benchmarks do — a driver loop is serial
+    structure that caps throughput regardless of cluster size). When
+    `checkpoint_dir` is given every round persists to parquet (lineage cut
+    + resumable); otherwise localCheckpoint is used."""
     cur = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
 
+    persisted = None
     if driver_threshold > 0:
-        cur = cur.persist()
+        persisted = cur = cur.persist()
         if cur.count() <= driver_threshold:
-            return _driver_union_find(spark, cur)
+            out = _driver_union_find(spark, cur)
+            persisted.unpersist()
+            return out
 
     prev_sig = None
     for i in range(max_iterations):
@@ -126,6 +133,9 @@ def connected_components(
             cur = spark.read.parquet(path)
         else:
             cur = cur.localCheckpoint()
+        if persisted is not None:
+            persisted.unpersist()
+            persisted = None
         sig = _checksum(cur)
         if sig == prev_sig:
             break

@@ -17,19 +17,41 @@ __all__ = ["read_lines", "read_web_pages", "write_table"]
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Newline-delimited text -> (index: long, text: string) haystack table.
+    """Newline-delimited text -> (line_id: long, text: string) haystack table.
 
-    The index is assigned by (file, line offset) order so it is stable and
+    line_id is assigned by (file, line offset) order so it is stable and
     reproducible across runs — unlike monotonically_increasing_id, whose
-    values depend on partition layout. At web scale prefer a source key."""
+    values depend on partition layout. The column is deliberately NOT named
+    `index`: pyspark Row is a tuple subclass, so row.index would resolve to
+    tuple.index instead of the value.
+
+    Scale: the per-line row_number window is partitioned by file (splits of
+    one file stay ordered because monotonically_increasing_id embeds the
+    partition id in its high bits and Spark assigns file splits to
+    partitions in offset order); only the per-FILE offset table — one row
+    per file — goes through an unpartitioned cumulative-sum window, then is
+    broadcast back. Nothing corpus-sized ever lands on a single partition."""
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),
         F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_mid"),
     )
-    w = Window.orderBy("_file", "_mid")
-    return lines.select(
-        (F.row_number().over(w) - 1).cast("long").alias("index"), "text"
+    w_file = Window.partitionBy("_file").orderBy("_mid")
+    per_file = lines.select(
+        "_file", "text", F.row_number().over(w_file).alias("_rn")
+    )
+    w_off = Window.orderBy("_file").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_file.groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_file",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+        )
+    )
+    return per_file.join(F.broadcast(offsets), "_file").select(
+        (F.col("_offset") + F.col("_rn") - 1).cast("long").alias("line_id"),
+        "text",
     )
 
 
