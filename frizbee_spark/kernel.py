@@ -29,10 +29,38 @@ _U16 = np.uint16
 
 def _ssub(a: np.ndarray, b) -> np.ndarray:
     """Saturating subtract via max(a,b)-b: a>=b -> a-b, else 0."""
-    b_arr = np.asarray(b, dtype=_U16)
+    b_arr = np.asarray(b, dtype=a.dtype)
     out = np.maximum(a, b_arr)
     out -= b_arr
     return out
+
+
+def _score_fits_in_u8(needle_len: int, scoring: Scoring) -> bool:
+    """u8 dtype-narrowing eligibility, mirroring the reference's
+    score_fits_in_u8 (/root/reference/src/smith_waterman/mod.rs:92-116):
+    every possible matrix cell value must fit in u8. Halves the DP's memory
+    traffic — numerically identical because the saturating arithmetic never
+    reaches the wrap point when the max possible score fits. (The lane-width
+    gap-penalty bound in the reference is replaced here by saturating
+    penalty scalars in the log-shift scan: a penalty clipped at dtype-max
+    still exceeds every cell value, so the decayed lane is 0 either way.)"""
+    s = scoring
+    max_constant = max(
+        s.match_score + s.mismatch_penalty,
+        s.gap_open_penalty,
+        s.gap_extend_penalty,
+        s.matching_case_bonus,
+        s.capitalization_bonus,
+        s.delimiter_bonus,
+        s.prefix_bonus,
+    )
+    if max_constant > 0xFF:
+        return False
+    max_per_char = s.match_score + s.max_per_char_bonus()
+    max_matrix_score = (
+        max_per_char * needle_len + s.max_one_time_bonus() + s.prefix_bonus
+    )
+    return max_matrix_score + s.mismatch_penalty <= 0xFF
 
 
 @dataclass
@@ -71,6 +99,11 @@ class AsciiKernel:
             len(self.needle_bytes),
             scoring.max_per_char_bonus(),
             scoring.max_one_time_bonus(),
+        )
+        # dtype narrowing (mod.rs:92-116): u8 DP when every cell fits,
+        # halving memory traffic across the batch axis
+        self.dtype = (
+            np.uint8 if _score_fits_in_u8(self.rows, scoring) else np.uint16
         )
 
     # ---- prefilter over a padded byte matrix ----
@@ -175,15 +208,18 @@ class AsciiKernel:
         self, hay: np.ndarray, lengths: np.ndarray, include_prefix: np.ndarray
     ) -> np.ndarray:
         """Batched SW recurrence (ascii.rs:10-158) on (N, C) zero-padded
-        bytes; C is a power of two. Returns uint16 scores."""
+        bytes; C is a power of two. Runs in uint8 when the score range
+        allows (self.dtype), else uint16; returns uint16 scores."""
         s = self.scoring
         n_hay, width = hay.shape
         if self.rows == 0 or n_hay == 0:
             return np.zeros(n_hay, dtype=_U16)
 
-        gap_extend = np.uint16(s.gap_extend_penalty)
-        gap_open = np.uint16(max(0, s.gap_open_penalty - s.gap_extend_penalty))
-        match_plus_mismatch = np.uint16((s.match_score + s.mismatch_penalty) & U16_MAX)
+        dt = self.dtype
+        dt_max = int(np.iinfo(dt).max)
+        gap_extend = dt(s.gap_extend_penalty)
+        gap_open = dt(max(0, s.gap_open_penalty - s.gap_extend_penalty))
+        match_plus_mismatch = dt((s.match_score + s.mismatch_penalty) & dt_max)
 
         # haystack-side lane bonuses (ascii.rs:64-101)
         is_upper = (hay >= 65) & (hay <= 90)
@@ -197,57 +233,57 @@ class AsciiKernel:
         cap_mask = is_upper & prev_lower
         delim_mask = prev_delim & ~is_delim
 
-        bonuses = np.zeros((n_hay, width), dtype=_U16)
-        bonuses += np.where(delim_mask, np.uint16(s.delimiter_bonus), np.uint16(0))
-        bonuses += np.where(cap_mask, np.uint16(s.capitalization_bonus), np.uint16(0))
-        bonuses[:, 0] += np.where(
-            include_prefix, np.uint16(s.prefix_bonus), np.uint16(0)
-        )
+        bonuses = np.zeros((n_hay, width), dtype=dt)
+        bonuses += np.where(delim_mask, dt(s.delimiter_bonus), dt(0))
+        bonuses += np.where(cap_mask, dt(s.capitalization_bonus), dt(0))
+        bonuses[:, 0] += np.where(include_prefix, dt(s.prefix_bonus), dt(0))
         with np.errstate(over="ignore"):
             bonuses += match_plus_mismatch
 
-        prev_row = np.zeros((n_hay, width), dtype=_U16)
+        prev_row = np.zeros((n_hay, width), dtype=dt)
         prev_mask = np.zeros((n_hay, width), dtype=bool)
-        final = np.zeros(n_hay, dtype=_U16)
         n_shifts = max(0, int(np.log2(width))) if width > 1 else 0
 
         for i in range(self.rows):
             exact_mask = hay == self.n_orig[i]
             match_mask = exact_mask | (hay == self.n_flip[i])
 
-            diag = np.zeros((n_hay, width), dtype=_U16)
+            diag = np.zeros((n_hay, width), dtype=dt)
             diag[:, 1:] = prev_row[:, :-1]
             with np.errstate(over="ignore"):
-                diag += np.where(match_mask, bonuses, np.uint16(0))
-            diag = _ssub(diag, s.mismatch_penalty)
+                diag += np.where(match_mask, bonuses, dt(0))
+            diag = _ssub(diag, dt(s.mismatch_penalty))
             with np.errstate(over="ignore"):
-                diag += np.where(
-                    exact_mask, np.uint16(s.matching_case_bonus), np.uint16(0)
-                )
+                diag += np.where(exact_mask, dt(s.matching_case_bonus), dt(0))
 
             up = _ssub(prev_row, gap_extend)
-            up = _ssub(up, np.where(prev_mask, gap_open, np.uint16(0)))
+            up = _ssub(up, np.where(prev_mask, gap_open, dt(0)))
 
             row = np.maximum(diag, up)
-            # log-shift horizontal gap scan (ascii_gap.rs:11-43), full width
-            gex = gap_extend
+            # log-shift horizontal gap scan (ascii_gap.rs:11-43), full width.
+            # The doubling extend penalty SATURATES at dtype-max: a clipped
+            # penalty still exceeds every reachable cell value (overflow
+            # guard / u8 eligibility), so the decayed lane is 0 either way —
+            # wrapping would instead under-penalize long shifts.
+            gex_int = int(gap_extend)
+            gop_int = int(gap_open)
             shift = 1
             for _ in range(n_shifts):
                 shifted = np.zeros_like(row)
                 shifted[:, shift:] = row[:, :-shift]
                 shifted_mm = np.zeros((n_hay, width), dtype=bool)
                 shifted_mm[:, shift:] = match_mask[:, :-shift]
-                with np.errstate(over="ignore"):
-                    penalty = gex + np.where(shifted_mm, gap_open, np.uint16(0))
+                pen_match = dt(min(gex_int + gop_int, dt_max))
+                pen_nomatch = dt(min(gex_int, dt_max))
+                penalty = np.where(shifted_mm, pen_match, pen_nomatch)
                 row = np.maximum(row, _ssub(shifted, penalty))
-                gex = np.uint16((int(gex) * 2) & U16_MAX)
+                gex_int = min(gex_int * 2, dt_max)
                 shift *= 2
 
             prev_row = row
             prev_mask = match_mask
 
-        final = prev_row.max(axis=1)
-        return final
+        return prev_row.max(axis=1).astype(_U16)
 
     # ---- full row pipeline ----
 

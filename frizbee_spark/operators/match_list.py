@@ -127,22 +127,44 @@ def match_query(
             result = result.orderBy(F.asc(index_col))
         return result
 
+    # SQL-expressible min-length prefilters for every non-negated fuzzy
+    # pattern reach the scan before any UDF runs (matcher/algo.rs:62-65)
+    for pattern in patterns:
+        resolved = pattern.config.resolve(config)
+        if (
+            not pattern.negated
+            and resolved.max_typos is not None
+            and resolved.matching.is_fuzzy
+        ):
+            min_len = max(0, len(pattern.needle) - resolved.max_typos)
+            if min_len > 0:
+                out = out.where(
+                    F.octet_length(F.col(text_col)) >= F.lit(min_len)
+                )
+
+    # survivor refinement (multi.rs:84-152): filter right after each
+    # pattern's projection so pattern i+1's UDF only ever scores the rows
+    # that survived patterns 0..i — the plan is ArrowEval -> Filter ->
+    # ArrowEval -> ..., never N full-column UDF passes. The UDFs are marked
+    # nondeterministic (they are pure, but the marker is the public API for
+    # an optimizer barrier): otherwise CollapseProject + ExtractPythonUDFs
+    # batch every pattern into ONE eval below the combined filter and
+    # re-evaluate the first pattern a second time for the score projection.
     score_expr = F.lit(0)
     exact_expr = F.lit(False)
-    keep_expr = F.lit(True)
     for i, pattern in enumerate(patterns):
         resolved = pattern.config.resolve(config)
-        udf = fuzzy_match_udf(pattern.needle, resolved)
+        udf = fuzzy_match_udf(pattern.needle, resolved).asNondeterministic()
         col = f"_m{i}"
         out = out.withColumn(col, udf(F.col(text_col)))
         if pattern.negated:
-            keep_expr = keep_expr & ~F.col(f"{col}.matched")
+            out = out.where(~F.col(f"{col}.matched"))
         else:
-            keep_expr = keep_expr & F.col(f"{col}.matched")
+            out = out.where(F.col(f"{col}.matched"))
             score_expr = score_expr + F.col(f"{col}.score")
             exact_expr = exact_expr | F.col(f"{col}.exact")
 
-    out = out.where(keep_expr).select(
+    out = out.select(
         F.col(index_col),
         F.least(score_expr, F.lit(0xFFFF)).cast("int").alias("score"),
         exact_expr.alias("exact"),

@@ -62,11 +62,16 @@ def winnow_fingerprints(
     return df.select(F.col(id_col), F.explode(_fp(F.col(text_col))).alias("fingerprint"))
 
 
-def _longest_common_substring_len(a: bytes, b: bytes, at_least: int) -> int:
-    """Exact LCS-substring length via shared-k-gram anchor extension: find a
-    common `at_least`-gram (hash-set intersection), then extend the true
-    byte match around each anchor. Linear-ish for verification-sized pairs;
-    a suffix automaton is the drop-in for adversarial inputs."""
+def _longest_common_substring_len(
+    a: bytes, b: bytes, at_least: int, max_occ: int = 8
+) -> int:
+    """Exact LCS-substring length via shared-k-gram anchor extension: find
+    common `at_least`-grams (hash intersection), then extend the true byte
+    match around each anchor. Anchors cover ALL occurrences of a shared
+    k-gram (capped at `max_occ` per side) — first-occurrence-only anchoring
+    under-reports periodic/repetitive texts whose k-grams also occur in
+    shorter earlier runs. Linear-ish for verification-sized pairs; a suffix
+    automaton is the drop-in for adversarial inputs."""
     if len(a) < at_least or len(b) < at_least:
         return 0
     k = at_least
@@ -74,22 +79,45 @@ def _longest_common_substring_len(a: bytes, b: bytes, at_least: int) -> int:
     db = np.frombuffer(b, dtype=np.uint8)
     ha = hash_shingles(da, k)
     hb = hash_shingles(db, k)
-    common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+    common = np.intersect1d(ha, hb)
+    if len(common) == 0:
+        return 0
+    # sorted position indexes: all occurrences of a value found by bisection
+    order_a = np.argsort(ha, kind="stable")
+    order_b = np.argsort(hb, kind="stable")
+    sorted_a = ha[order_a]
+    sorted_b = hb[order_b]
     best = 0
-    for pos_a, pos_b in zip(ia, ib):
-        if a[pos_a : pos_a + k] != b[pos_b : pos_b + k]:
-            continue  # rolling-hash collision
-        lo = 0
-        while pos_a - lo > 0 and pos_b - lo > 0 and a[pos_a - lo - 1] == b[pos_b - lo - 1]:
-            lo += 1
-        hi = k
-        while (
-            pos_a + hi < len(a)
-            and pos_b + hi < len(b)
-            and a[pos_a + hi] == b[pos_b + hi]
-        ):
-            hi += 1
-        best = max(best, lo + hi)
+    for val in common:
+        occ_a = order_a[
+            np.searchsorted(sorted_a, val, "left") : np.searchsorted(
+                sorted_a, val, "right"
+            )
+        ][:max_occ]
+        occ_b = order_b[
+            np.searchsorted(sorted_b, val, "left") : np.searchsorted(
+                sorted_b, val, "right"
+            )
+        ][:max_occ]
+        for pos_a in occ_a:
+            for pos_b in occ_b:
+                if a[pos_a : pos_a + k] != b[pos_b : pos_b + k]:
+                    continue  # rolling-hash collision
+                lo = 0
+                while (
+                    pos_a - lo > 0
+                    and pos_b - lo > 0
+                    and a[pos_a - lo - 1] == b[pos_b - lo - 1]
+                ):
+                    lo += 1
+                hi = k
+                while (
+                    pos_a + hi < len(a)
+                    and pos_b + hi < len(b)
+                    and a[pos_a + hi] == b[pos_b + hi]
+                ):
+                    hi += 1
+                best = max(best, lo + hi)
     return best
 
 

@@ -21,35 +21,47 @@ __all__ = ["connected_components"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """large-star: connect every neighbor larger than u to u's min."""
+    """large-star: connect every neighbor larger than u to u's min.
+
+    Single-pass formulation: the per-node minimum comes from a window over
+    the neighbor partition (ONE shuffle on u), not a groupBy + self-join —
+    the join formulation scans its (often lazily-derived) input three
+    times, which multiplies into full upstream recomputes when the input
+    lineage is a compound DAG."""
+    from pyspark.sql import Window
+
     both = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    mins = both.groupBy("u").agg(F.min("v").alias("min_v"))
-    mins = mins.select("u", F.least("min_v", F.col("u")).alias("m"))
+    w = Window.partitionBy("u")
+    with_min = both.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    # v > u implies v > m (m <= u), so no self-edge filter is needed
     return (
-        both.join(mins, "u")
-        .where(F.col("v") > F.col("u"))
+        with_min.where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """small-star: point all of u's smaller neighbors (and u) at the min."""
+    """small-star: point all of u's smaller neighbors (and u) at the min.
+
+    Single-pass: the row holding the minimum neighbor contributes the
+    (u, m) self-edge; every other row contributes its (v, m) edge."""
+    from pyspark.sql import Window
+
     directed = edges.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
-    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-    neighbor_edges = (
-        directed.join(mins, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
-    )
-    self_edges = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    w = Window.partitionBy("u")
+    with_min = directed.withColumn("m", F.min("v").over(w))
     return (
-        neighbor_edges.unionAll(self_edges)
+        with_min.select(
+            F.when(F.col("v") == F.col("m"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.col("m").alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
@@ -124,18 +136,27 @@ def connected_components(
             persisted.unpersist()
             return out
 
+    # materialize the input once: the edge list usually arrives with a
+    # deep lazy lineage (the whole verify DAG); every star round scans its
+    # input several times, and scanning a compound lazy plan multiplies
+    # into full upstream recomputes. localCheckpoint = parallel
+    # materialization + lineage cut (no driver barrier).
+    cur = cur.localCheckpoint()
+    if persisted is not None:
+        persisted.unpersist()
+        persisted = None
+
     prev_sig = None
     for i in range(max_iterations):
-        cur = _small_star(_large_star(cur))
+        # each half-round is checkpointed so the next star scans
+        # materialized rows, never a lazy compound
+        cur = _small_star(_large_star(cur).localCheckpoint())
         if checkpoint_dir is not None:
             path = os.path.join(checkpoint_dir, f"cc_iter_{i}")
             cur.write.mode("overwrite").parquet(path)
             cur = spark.read.parquet(path)
         else:
             cur = cur.localCheckpoint()
-        if persisted is not None:
-            persisted.unpersist()
-            persisted = None
         sig = _checksum(cur)
         if sig == prev_sig:
             break

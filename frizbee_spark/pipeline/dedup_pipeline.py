@@ -16,8 +16,9 @@ Scale design (10^12 docs, 1000 executors):
   ~3e4 expected collisions — acceptable for dedup where a collision merges
   two random docs; a 128-bit (hash, hash') composite key is a drop-in if
   not.)
-- candidate generation caps LSH bucket size (boilerplate buckets are
-  dropped and *counted* in lineage instead of producing O(n^2) pairs).
+- candidate generation salts LSH buckets above bucket_cap (full pairing
+  spread across salt-group tasks up to hard_cap; beyond that, within-salt
+  pairing only — O(S*cap), *counted* in lineage, never silent O(S^2)).
 - verification joins texts only for surviving pairs (pairs << docs), and
   the SW kernel scores bounded 256B/1024B windows so the greedy fallback
   never dominates.
@@ -144,17 +145,17 @@ class DedupPipeline:
         return lsh_bands(signatures, id_col="doc_id", num_bands=self.config.num_bands)
 
     def _stage_pairs(self, bands: DataFrame) -> DataFrame:
-        pairs, dropped = candidate_pairs(
+        pairs, sampled = candidate_pairs(
             bands, id_col="doc_id", bucket_cap=self.config.bucket_cap
         )
-        dropped_counts = dropped.agg(
+        sampled_counts = sampled.agg(
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_buckets"),
             F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_members"),
         ).collect()[0]
         self._record_scalars(
             [
-                ("pairs.dropped_buckets", int(dropped_counts["n_buckets"])),
-                ("pairs.dropped_members", int(dropped_counts["n_members"])),
+                ("pairs.sampled_buckets", int(sampled_counts["n_buckets"])),
+                ("pairs.sampled_members", int(sampled_counts["n_members"])),
             ]
         )
         return pairs
@@ -168,8 +169,13 @@ class DedupPipeline:
         )
 
     def _stage_verify(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
+        self._verify_registry: list = []
         return verify_pairs(
-            pairs, docs, self.config, signatures=self._read("signatures")
+            pairs,
+            docs,
+            self.config,
+            signatures=self._read("signatures"),
+            persist_registry=self._verify_registry,
         )
 
     def _stage_components(self, edges: DataFrame) -> DataFrame:
@@ -233,6 +239,9 @@ class DedupPipeline:
 
         if not finished("verify"):
             self._write("verify", self._stage_verify(self._read("pairs"), docs))
+            for cached in getattr(self, "_verify_registry", []):
+                cached.unpersist()
+            self._verify_registry = []
         if stop_after == "verify":
             return None
 
@@ -253,6 +262,7 @@ def verify_pairs(
     docs: DataFrame,
     config: DedupConfig,
     signatures: DataFrame | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Candidate-pair verification, cheapest-signal-first (the reference's
     own staging philosophy, matcher/algo.rs: length filter -> prefilter ->
@@ -262,10 +272,23 @@ def verify_pairs(
        (128 x 8B per doc — ~15x smaller than shingle sets). est error is
        ~sqrt(j(1-j)/128) <= 0.045, so pairs with est far from the decision
        boundary are accepted/rejected outright.
-    2. exact n-gram Jaccard (numpy set intersection in a pandas UDF) only
-       for the narrow est-boundary band.
+    2. exact n-gram Jaccard for the narrow est-boundary band — per-DOC
+       shingle sets are computed once (one Arrow pass over the distinct
+       docs in boundary pairs), then intersected JVM-side with
+       array_intersect; a doc appearing in P pairs is never shingled P
+       times.
     3. the frizbee SW kernel on bounded windows only for exact-jaccard
        borderline pairs (typo-level rewrites that shift many shingles).
+
+    Multi-consumer intermediates (est, mid_scored) are materialized ONCE
+    via localCheckpoint — an eager but fully parallel stage boundary. A
+    lazy persist instead lets the three output branches race the cache
+    inside the caller's single action and recompute the UDF-join chain
+    concurrently (observed 3x); a barrier whose work is parallel costs
+    scheduling noise, a race costs whole stages. localCheckpoint blocks
+    are reference-counted by the ContextCleaner, so nothing needs manual
+    unpersist (`persist_registry` is kept for API compatibility and
+    receives nothing).
 
     Returns (a, b, jaccard, sw_ratio) for accepted pairs."""
     c = config
@@ -274,11 +297,11 @@ def verify_pairs(
     sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
     est_hi = c.jaccard_threshold + 0.12
     est_lo = max(0.0, c.sw_gate - 0.08)
+    registry = persist_registry if persist_registry is not None else []
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-    pairs = pairs.persist()
     if signatures is None:
         signatures = minhash_signatures(
             docs, text_col="text", id_col="doc_id",
@@ -296,42 +319,67 @@ def verify_pairs(
         mb = np.stack(sb.to_numpy())
         return pd.Series((ma == mb).mean(axis=1))
 
+    # ONE eager parallel materialization: three branches scan est, and a
+    # lazy persist lets them race the cache and recompute the pair-join +
+    # UDF chain concurrently (observed 3x recompute). localCheckpoint also
+    # cuts the lineage so downstream consumers scan materialized rows.
     est = (
         pairs.hint("shuffle_hash").join(sig_a, "a")
         .hint("shuffle_hash").join(sig_b, "b")
         .select("a", "b", F.round(est_jaccard_udf("sig_a", "sig_b"), 6).alias("est"))
-        .persist()
+        .localCheckpoint()
     )
-    est.count()  # eager: three branches read it
 
     accepted_est = est.where(F.col("est") >= est_hi).select(
         "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
     )
     middle = est.where((F.col("est") >= est_lo) & (F.col("est") < est_hi))
 
-    # exact shingle Jaccard + SW rescue for the est-boundary band only
-    texts_a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    texts_b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    mid_texts = (
-        middle.hint("shuffle_hash").join(texts_a, "a")
-        .hint("shuffle_hash").join(texts_b, "b")
-    )
-
-    @pandas_udf(DoubleType())
-    def exact_jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    # exact shingle Jaccard for the est-boundary band: shingle each distinct
+    # doc ONCE, intersect JVM-side (no per-pair Python set work)
+    @pandas_udf(ArrayType(LongType()))
+    def shingles_udf(texts: pd.Series) -> pd.Series:
         from ..functions.hashing import hash_shingles
 
-        out = np.zeros(len(ta))
-        for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
-            sa = np.unique(hash_shingles(np.frombuffer(x.encode(), dtype=np.uint8), shingle_k))
-            sb = np.unique(hash_shingles(np.frombuffer(y.encode(), dtype=np.uint8), shingle_k))
-            if len(sa) == 0 and len(sb) == 0:
-                out[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            out[i] = inter / union if union else 0.0
+        out = []
+        for t in texts.fillna(""):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
         return pd.Series(out)
+
+    mid_ids = (
+        middle.select(F.col("a").alias("doc_id"))
+        .unionAll(middle.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(mid_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles_udf("text").alias("sh")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    mid_scored = (
+        middle.hint("shuffle_hash").join(sh_a, "a")
+        .hint("shuffle_hash").join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0))
+                .otherwise(inter / F.greatest(union, F.lit(1))),
+                6,
+            ).alias("jaccard"),
+        )
+        .localCheckpoint()  # two branches scan it (accepted + borderline)
+    )
+
+    accepted_exact = mid_scored.where(
+        F.col("jaccard") >= c.jaccard_threshold
+    ).select("a", "b", "jaccard", F.lit(1.0).alias("sw_ratio"))
+    borderline = mid_scored.where(
+        (F.col("jaccard") >= c.sw_gate) & (F.col("jaccard") < c.jaccard_threshold)
+    )
 
     @pandas_udf(DoubleType())
     def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -352,17 +400,13 @@ def verify_pairs(
             out[i] = int(res.score[0]) / self_score if self_score else 0.0
         return pd.Series(out)
 
-    mid_scored = mid_texts.withColumn(
-        "jaccard", F.round(exact_jaccard_udf("text_a", "text_b"), 6)
-    ).persist()
-    accepted_exact = mid_scored.where(
-        F.col("jaccard") >= c.jaccard_threshold
-    ).select("a", "b", "jaccard", F.lit(1.0).alias("sw_ratio"))
-    borderline = mid_scored.where(
-        (F.col("jaccard") >= c.sw_gate) & (F.col("jaccard") < c.jaccard_threshold)
-    )
+    # texts join only for the (small) borderline set needing SW rescue
+    texts_a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    texts_b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     rescued = (
-        borderline.withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
+        borderline.hint("shuffle_hash").join(texts_a, "a")
+        .hint("shuffle_hash").join(texts_b, "b")
+        .withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
         .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
         .select("a", "b", "jaccard", "sw_ratio")
     )
@@ -378,21 +422,29 @@ def dedup_pages_single_dag(
     c = config or DedupConfig()
     from pyspark.sql import Window
 
+    # one eager parallel materialization per multi-consumer stage: lazy
+    # persists make concurrent consumers race the cache and recompute the
+    # expensive UDF chains (extract is consumed by signatures/shingles/
+    # texts/clusters; signatures by bands and both est join sides)
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     docs = (
         pages.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
-        .persist()
+        .localCheckpoint()
     )
     sigs = minhash_signatures(
         docs, text_col="text", id_col="doc_id",
         shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
-    ).persist()
+    ).localCheckpoint()
     bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
-    pairs, _dropped = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
+    pairs, _sampled = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
     verified = verify_pairs(pairs, docs, c, signatures=sigs)
-    components = connected_components(spark, verified.select("a", "b"))
+    # driver_threshold=0: the measured throughput path must never serialize
+    # clustering through a driver loop — distributed star contraction only
+    components = connected_components(
+        spark, verified.select("a", "b"), driver_threshold=0
+    )
     clusters = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select(

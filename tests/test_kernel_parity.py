@@ -94,3 +94,30 @@ def test_kernel_unicode_fallback_parity():
 def test_kernel_scores_are_u16():
     got = match_batch("abc", ["abcabcabc"], Config(max_typos=None))
     assert got.score.dtype == np.uint16
+
+
+def test_kernel_u8_narrowing_parity():
+    """The u8 fast path (mod.rs:92-116) must be numerically identical to
+    the u16 path; force both dtypes on the same inputs and compare."""
+    from frizbee_spark.kernel import AsciiKernel
+
+    rng = random.Random(4242)
+    needle = "spark"
+    haystacks = [_rand_string(rng, rng.randint(1, 200)) for _ in range(300)]
+    haystacks += ["spark", "SPARK", "s-p-a-r-k", "sp ark", "xxspakrxx"]
+    cfg = Config(max_typos=None)
+    k = AsciiKernel(needle, cfg)
+    assert k.dtype == np.uint8  # default scoring + short needle fits u8
+    res8 = k.match_batch(haystacks)
+    k.dtype = np.uint16
+    res16 = k.match_batch(haystacks)
+    assert (res8.matched == res16.matched).all()
+    assert (res8.score == res16.score).all()
+    assert (res8.exact == res16.exact).all()
+
+
+def test_kernel_u8_ineligible_long_needle():
+    from frizbee_spark.kernel import AsciiKernel
+
+    k = AsciiKernel("a" * 64, Config(max_typos=None))
+    assert k.dtype == np.uint16

@@ -164,3 +164,47 @@ def test_decoder_stub_raises_without_fake(spark):
     df = spark.createDataFrame([(0, "image", b"\xff\xd8data")], ["media_id", "kind", "payload"])
     with pytest.raises(Exception, match="(?i)decod|notimplemented"):
         decode_and_featurize(df, deterministic_fake=False).collect()
+
+
+def test_candidate_pairs_salted_skew_bucket(spark):
+    """North-rule skew criterion: one 10k-member LSH bucket must complete
+    without O(S^2) pair blowup (within-salt pairing caps work at O(S*cap)),
+    while planted dups in the hot bucket are still recovered through the
+    other bands they share."""
+    import pyspark.sql.functions as F
+
+    n = 10_000
+    hot = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.lit(777).cast("long").alias("band_hash"),
+    )
+    # a planted dup pair inside the hot bucket also collides in bands 1..4
+    dup = spark.createDataFrame(
+        [(3, b, 999) for b in range(1, 5)] + [(77, b, 999) for b in range(1, 5)],
+        ["doc_id", "band_id", "band_hash"],
+    ).select("doc_id", "band_id", F.col("band_hash").cast("long"))
+    pairs, sampled = candidate_pairs(
+        hot.unionByName(dup), bucket_cap=64, hard_cap=4096
+    )
+    got = pairs.count()
+    # within-salt only for the hot bucket: far below the 50M full pairing
+    assert got < 1_000_000
+    assert pairs.where((F.col("a") == 3) & (F.col("b") == 77)).count() == 1
+    assert sampled.count() == 1  # the hot bucket is lineage-accounted
+
+
+def test_candidate_pairs_salted_full_pairing_midsize(spark):
+    """Buckets between bucket_cap and hard_cap emit ALL pairs (salting only
+    spreads the join), identical to the unsalted pair set."""
+    import pyspark.sql.functions as F
+
+    n = 150
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.lit(5).cast("long").alias("band_hash"),
+    )
+    pairs, sampled = candidate_pairs(bands, bucket_cap=64, hard_cap=4096)
+    assert pairs.count() == n * (n - 1) // 2
+    assert sampled.count() == 0

@@ -77,3 +77,24 @@ def test_predicate_pushdown_reaches_parquet(spark, sf_dir):
     assert "PushedFilters" in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "l_quantity" in pushed
+
+
+def test_match_query_survivor_refinement(spark, sf_dir):
+    """multi.rs:84-152: pattern i+1's UDF must consume the FILTERED output
+    of pattern i, never the full row set — the plan alternates
+    ArrowEvalPython and Filter instead of stacking all UDFs up front."""
+    from frizbee_spark.operators.match_list import match_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = match_query(docs, "spark !window", Config(max_typos=1))
+    plan = plan_of(df, mode="simple")
+    lines = plan.splitlines()
+    evals = [i for i, l in enumerate(lines) if "EvalPython" in l]
+    match_filters = [
+        i for i, l in enumerate(lines) if "Filter" in l and ".matched" in l
+    ]
+    # each pattern gets its OWN eval (no batched multi-UDF projection)...
+    assert len(evals) == 2, plan
+    # ...and the first pattern's matched-filter sits between them (plans
+    # print top-down: upper eval, then the filter feeding it, then lower)
+    assert any(evals[0] < f < evals[1] for f in match_filters), plan

@@ -44,3 +44,20 @@ def test_substring_dedup_pairs(spark):
     assert (0, 1) in pairs
     assert pairs[(0, 1)] >= len(shared)
     assert not any(2 in p for p in pairs)
+
+
+def test_lcs_periodic_text_all_occurrences():
+    """Periodic texts whose k-grams also occur in shorter earlier runs must
+    not under-report: the anchor extension covers all (capped) occurrence
+    pairs, not just the first (ADVICE r01)."""
+    from frizbee_spark.operators.substring_dedup import (
+        _longest_common_substring_len,
+    )
+
+    # the shared k-grams of the long run also appear in the short run
+    # first; first-occurrence anchoring would extend only around the short
+    # early run and miss the long one
+    a = b"ab" * 6 + b"XXXX" + b"ab" * 40 + b"YYYY"
+    b_ = b"ab" * 6 + b"QQQQ" + b"ab" * 40 + b"ZZZZ"
+    got = _longest_common_substring_len(a, b_, 8)
+    assert got >= 80  # the "ab"*40 run

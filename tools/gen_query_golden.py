@@ -111,9 +111,11 @@ def golden_simhash(docs: pd.DataFrame) -> pd.DataFrame:
 
 
 def golden_minhash_lsh_pairs(
-    docs: pd.DataFrame, num_perm: int = 64, num_bands: int = 16,
-    bucket_cap: int = 64, seed: int = 42,
+    docs: pd.DataFrame, num_perm: int = 64, num_bands: int = 16, seed: int = 42,
 ) -> pd.DataFrame:
+    # candidate_pairs emits ALL within-bucket pairs for buckets up to
+    # hard_cap (salting only spreads the work); at sf0.01 no bucket can
+    # exceed hard_cap=4096, so the golden is simply every >=2-member bucket
     a, b = H.minhash_params(num_perm, seed)
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
@@ -123,7 +125,7 @@ def golden_minhash_lsh_pairs(
             buckets.setdefault((band_id, int(h)), []).append(int(doc_id))
     pairs: set[tuple[int, int]] = set()
     for members in buckets.values():
-        if len(members) < 2 or len(members) > bucket_cap:
+        if len(members) < 2:
             continue
         ms = sorted(set(members))
         for i in range(len(ms)):

@@ -87,8 +87,17 @@ def ensure_corpus() -> None:
 
 
 def run_subprocess(cpus: int) -> dict:
+    # Pin the whole process tree (JVM task threads + Python UDF workers +
+    # GC/shuffle threads) to exactly `cpus` cores. Without this, a
+    # local[8] run on a 32-core box uses ~16-24 cores (the JVM blocks on
+    # Arrow while separate Python workers burn their own cores), which
+    # inflates the small-cluster baseline and fakes a scaling regression.
+    # taskset makes local[N] a faithful stand-in for an N-core cluster.
+    cmd = [sys.executable, __file__, "--worker", str(cpus), CORPUS]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, __file__, "--worker", str(cpus), CORPUS],
+        cmd,
         capture_output=True,
         text=True,
         cwd=str(REPO),
