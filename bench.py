@@ -66,6 +66,9 @@ def dedup_end_to_end(spark, sf_dir: str) -> int:
         bucket_cap=64,
         jaccard_threshold=0.7,
         sw_gate=0.6,
+        # r=7 precision banding: even true dups rarely collide twice, so
+        # the >=2-band gate stays off here (it belongs to 32x4 banding)
+        min_band_collisions=1,
     )
     workdir = tempfile.mkdtemp(prefix="frizbee_bench_dedup_")
     try:

@@ -22,21 +22,53 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
-def hash_shingles(data: np.ndarray, k: int) -> np.ndarray:
+def hash_shingles(data: np.ndarray, k: int, _chunk: int = 1 << 13) -> np.ndarray:
     """Rolling char k-shingle hashes of a uint8 byte array.
 
     Returns uint64 hashes of every k-byte window (len-k+1 values) via a
     polynomial rolling base then splitmix64 finalization; empty when the
-    text is shorter than k."""
+    text is shorter than k. Inputs larger than `_chunk` windows are
+    processed in overlapping segments so the uint64 intermediates stay
+    cache-resident — callers hash whole Arrow-batch buffers (tens of MB)
+    in one call, and an unchunked pass would stream ~10x the buffer size
+    through DRAM per temporary, which stops scaling with worker count."""
     n = len(data)
     if n < k:
         return np.empty(0, dtype=np.uint64)
+    m = n - k + 1
+    if m <= _chunk:
+        return _hash_windows(data, k, m)
+    out = np.empty(m, dtype=np.uint64)
+    for s in range(0, m, _chunk):
+        e = min(s + _chunk, m)
+        out[s:e] = _hash_windows(data[s : e + k - 1], k, e - s)
+    return out
+
+
+def _hash_windows(data: np.ndarray, k: int, m: int) -> np.ndarray:
+    """One chunk of rolling hashes, fully in-place: acc + one temp buffer
+    (~2 x 8 x chunk bytes) stay L2-resident, so 32 concurrent workers do
+    not fight for DRAM — this machine sustains ~10 GB/s total, and the
+    out-of-place formulation (~40B of traffic per input byte) made the
+    whole stage memory-bound instead of compute-bound."""
     base = np.uint64(0x100000001B3)  # FNV prime as polynomial base
-    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    acc = np.zeros(m, dtype=np.uint64)
+    tmp = np.empty(m, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i in range(k):
-            acc = (acc * base + data[i : n - k + 1 + i].astype(np.uint64)) & _MASK64
-    return splitmix64(acc)
+            acc *= base
+            acc += data[i : m + i]
+        # splitmix64 finalizer, in place (identical to splitmix64())
+        acc += np.uint64(0x9E3779B97F4A7C15)
+        np.right_shift(acc, np.uint64(30), out=tmp)
+        acc ^= tmp
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+        np.right_shift(acc, np.uint64(27), out=tmp)
+        acc ^= tmp
+        acc *= np.uint64(0x94D049BB133111EB)
+        np.right_shift(acc, np.uint64(31), out=tmp)
+        acc ^= tmp
+    return acc
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -48,27 +80,87 @@ def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(
+    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray, block: int = 16
+) -> np.ndarray:
     """Min over multiply-shift-permuted shingle hashes: (num_perm,) uint64.
+
+    Permutations are processed in blocks of `block` so the (block, n)
+    intermediate stays cache-resident (~300KB at n~2300) instead of
+    materializing the full (num_perm, n) matrix (~2.3MB/doc). With 32
+    executor workers hashing concurrently the full matrix saturates DRAM
+    bandwidth and the stage stops scaling with cores; the blocked form is
+    bit-identical (same wrap-around arithmetic) and memory-bound only on
+    the shingle array, which fits L2.
 
     An empty shingle set hashes to all-max (never collides with real docs)."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), _MASK64, dtype=np.uint64)
+    out = np.empty(len(a), dtype=np.uint64)
+    sh = shingle_hashes[None, :]
     with np.errstate(over="ignore"):
-        # (num_perm, n_shingles) permuted values; min along shingles
-        permuted = (a[:, None] * shingle_hashes[None, :] + b[:, None]) & _MASK64
-    return permuted.min(axis=1)
+        for s in range(0, len(a), block):
+            e = min(s + block, len(a))
+            permuted = a[s:e, None] * sh
+            permuted += b[s:e, None]
+            out[s:e] = permuted.min(axis=1)
+    return out
+
+
+_P64_1 = np.uint64(0x9E3779B185EBCA87)
+_P64_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P64_3 = np.uint64(0x165667B19E3779F9)
+_P64_4 = np.uint64(0x85EBCA77C2B2AE63)
+_P64_5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, n: int) -> np.ndarray:
+    n = np.uint64(n)
+    return (x << n) | (x >> (np.uint64(64) - n))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P64_2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P64_3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(value: np.ndarray, seed) -> np.ndarray:
+    """XXH64 of one 8-byte word — the exact formula Spark's `xxhash64`
+    expression applies per long column (XXH64.hashLong in the Spark
+    sources; public xxHash spec). Vectorized over numpy uint64 arrays."""
+    h = np.uint64(seed) + _P64_5 + np.uint64(8)
+    h = np.broadcast_to(h, np.shape(value)).copy() if np.shape(value) else h
+    k = _rotl64(np.asarray(value, dtype=np.uint64) * _P64_2, 31) * _P64_1
+    h = h ^ k
+    h = _rotl64(h, 27) * _P64_1 + _P64_4
+    return _xxh64_fmix(h)
+
+
+def spark_xxhash64_longs(columns: list[np.ndarray], seed: int = 42) -> np.ndarray:
+    """Spark-compatible `F.xxhash64(long, long, ...)`: the hash of column
+    i seeds the hash of column i+1, starting from Spark's default seed 42.
+    Mirrors the JVM band-hash expression so serial golden oracles and the
+    distributed LSH path agree bit-for-bit."""
+    h = np.uint64(seed)
+    with np.errstate(over="ignore"):
+        for col in columns:
+            h = _xxh64_long(np.asarray(col, dtype=np.uint64), h)
+    return h
 
 
 def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:
-    """Hash each band (contiguous rows) of a signature into one uint64."""
+    """Hash each band (contiguous rows) of a signature into one uint64 —
+    identical to the JVM lsh_bands expression: xxhash64(row_0..row_{r-1},
+    band_id) chained with Spark's seed 42."""
     rows = len(signature) // num_bands
     bands = signature[: num_bands * rows].reshape(num_bands, rows)
-    with np.errstate(over="ignore"):
-        acc = np.zeros(num_bands, dtype=np.uint64)
-        for r in range(rows):
-            acc = splitmix64(acc ^ (bands[:, r] + np.uint64(r) * np.uint64(0x9E3779B97F4A7C15)))
-    return acc
+    cols = [bands[:, r] for r in range(rows)]
+    cols.append(np.arange(num_bands, dtype=np.uint64))
+    return spark_xxhash64_longs(cols)
 
 
 def simhash64(shingle_hashes: np.ndarray) -> np.uint64:

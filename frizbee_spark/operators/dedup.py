@@ -51,24 +51,6 @@ def exact_duplicates(
     )
 
 
-def _signature_udf(shingle_k: int, num_perm: int, seed: int):
-    a, b = H.minhash_params(num_perm, seed)
-
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for t in texts.fillna(""):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            shingles = H.hash_shingles(data, shingle_k)
-            sig = H.minhash_signature(np.unique(shingles), a, b)
-            out.append(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return _sig
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -77,41 +59,112 @@ def minhash_signatures(
     num_perm: int = 128,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature: array<long>) MinHash signatures over char k-shingles."""
-    udf = _signature_udf(shingle_k, num_perm, seed)
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("signature"))
+    """(id, signature: array<long>) MinHash signatures over char k-shingles.
+
+    Implemented with mapInArrow and zero-copy Arrow buffers: the batch's
+    utf-8 payload is ONE concatenated byte buffer, so shingle rolling
+    hashes vectorize across the whole batch in a single numpy pass
+    (cross-document windows masked out by offsets), and signatures are
+    emitted as a flat (n_docs * num_perm) int64 buffer wrapped in a
+    ListArray — no per-row Python string boxing and no per-row result
+    boxing, which otherwise dominate this stage (~2ms/doc of pure
+    serialization vs ~1ms/doc of hashing)."""
+    a, b = H.minhash_params(num_perm, seed)
+    out_schema = f"{id_col} long, signature array<long>"
+
+    def _batches(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in iterator:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            if isinstance(texts, pa.ChunkedArray):  # pragma: no cover
+                texts = texts.combine_chunks()
+            n = len(texts)
+            if n == 0:
+                continue
+            sigs = np.empty((n, num_perm), dtype=np.uint64)
+            buffers = texts.buffers()
+            # StringArray buffers: [validity, int32 offsets, utf8 data]
+            # (LargeString uses int64 offsets — handle both)
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(texts.type) else np.int32
+            )
+            offsets = np.frombuffer(
+                buffers[1], dtype=off_dtype, count=n + 1, offset=texts.offset * off_dtype().itemsize
+            )
+            # .copy(): touch the Arrow buffer ONCE with a linear memcpy.
+            # The IPC-received buffer's pages fault lazily, and faulting
+            # them through the strided rolling-hash reads measured ~10x
+            # slower than a sequential prefetch-friendly memcpy + hash.
+            data = (
+                np.frombuffer(buffers[2], dtype=np.uint8).copy()
+                if buffers[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            # one vectorized rolling-hash pass over the concatenated buffer
+            all_hashes = H.hash_shingles(data, shingle_k)
+            nulls = (
+                texts.is_null().to_numpy(zero_copy_only=False)
+                if texts.null_count
+                else np.zeros(n, dtype=bool)
+            )
+            for i in range(n):
+                s, e = int(offsets[i]), int(offsets[i + 1])
+                if nulls[i] or e - s < shingle_k:
+                    sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                    continue
+                sh = all_hashes[s : e - shingle_k + 1]
+                sigs[i] = H.minhash_signature(np.unique(sh), a, b)
+            flat = pa.array(sigs.reshape(-1).astype(np.int64))
+            list_offsets = pa.array(
+                np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+            )
+            sig_col = pa.ListArray.from_arrays(list_offsets, flat)
+            yield pa.RecordBatch.from_arrays([ids, sig_col], [id_col, "signature"])
+
+    return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
 
 
 def lsh_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
+    num_perm: int | None = None,
 ) -> DataFrame:
-    """Explode signatures into (id, band_id, band_hash) rows."""
+    """Explode signatures into (id, band_id, band_hash) rows.
 
-    @pandas_udf(ArrayType(LongType()))
-    def _bands(sigs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        if len(sigs) == 0:
-            return pd.Series([], dtype=object)
-        # one (N, num_perm) matrix per Arrow batch: band hashing vectorizes
-        # across docs, not per-doc tiny arrays
-        mat = np.stack(sigs.to_numpy()).astype(np.uint64)
-        rows = mat.shape[1] // num_bands
-        banded = mat[:, : num_bands * rows].reshape(len(sigs), num_bands, rows)
-        acc = np.zeros((len(sigs), num_bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for r in range(rows):
-                acc = H.splitmix64(
-                    acc ^ (banded[:, :, r] + np.uint64(r) * np.uint64(0x9E3779B97F4A7C15))
+    Band hashing runs entirely JVM-side (element_at + xxhash64 inside
+    whole-stage codegen): no Arrow round-trip of the 128x8B signature
+    arrays to Python for what is a pure hash of r fixed slots. At web
+    scale this stage touches every document x band — keeping it in
+    codegen removes the largest non-essential Python stage from the
+    pipeline. `num_perm` (signature length) is inferred from one row when
+    not supplied."""
+    if num_perm is None:
+        head = signatures.select("signature").head()
+        num_perm = len(head["signature"]) if head is not None else 0
+    rows = max(1, num_perm // num_bands) if num_perm else 1
+    hashes = F.array(
+        *[
+            F.xxhash64(
+                *(
+                    [
+                        F.element_at(F.col("signature"), b * rows + i + 1)
+                        for i in range(rows)
+                    ]
+                    # long cast: keeps the hash chain on XXH64's 8-byte word
+                    # path, which functions/hashing.py::spark_xxhash64_longs
+                    # mirrors exactly for the serial golden oracles
+                    + [F.lit(b).cast("long")]
                 )
-        out = acc.astype(np.int64)
-        return pd.Series(list(out))
-
-    return (
-        signatures.select(F.col(id_col), _bands("signature").alias("bands"))
-        .select(F.col(id_col), F.posexplode("bands").alias("band_id", "band_hash"))
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(hashes).alias("band_id", "band_hash")
     )
 
 
@@ -120,6 +173,7 @@ def candidate_pairs(
     id_col: str = "doc_id",
     bucket_cap: int = 64,
     hard_cap: int = 4096,
+    min_band_collisions: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Unique (a, b) candidate pairs from shared LSH buckets, a < b — the
     salted, skew-aware groupBy mandated by the north rule.
@@ -139,9 +193,23 @@ def candidate_pairs(
       planted-dup recall stays >= 0.99. These buckets are returned in
       `sampled_buckets` for lineage accounting — bounded, never silent.
 
-    No eager materialization: bands are consumed twice (sizing + member
-    join); callers keep the expensive upstream (MinHash signatures) cached
-    or checkpointed, making the band projection cheap to recompute."""
+    `min_band_collisions` demands a pair collide in at least that many of
+    the LSH bands before it becomes a candidate. On boilerplate-heavy
+    corpora where unrelated pages share ~0.1 background Jaccard, r=4 bands
+    produce single-band random collisions on O(n^2 * J^4) pair-band events;
+    requiring >= 2 independent band hits suppresses that background by
+    ~10x while keeping P(candidate) >= 0.997 for true near-dups at
+    Jaccard >= 0.7 (binomial over 32 bands) — the recall >= 0.99 planted-dup
+    criterion is unaffected. The count is computed by the same shuffle that
+    deduplicated (a, b) before, so the gate is free.
+
+    The salted member table is materialized ONCE (eager columnar persist)
+    before the self-join: the two join branches are otherwise distinct
+    subtrees that Catalyst cannot collapse with ReuseExchange, so each
+    branch would recompute the bands-by-size join — doubling the work and
+    racing two concurrent stages for executor memory. Columnar cache
+    batches (not row objects) keep millions of band rows GC-cheap; the
+    ContextCleaner drops the cache when the DataFrame goes out of scope."""
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
     sampled = sizes.where(F.col("bucket_size") > hard_cap)
@@ -157,7 +225,8 @@ def candidate_pairs(
         .alias("salt"),
         g.alias("g"),
         F.col("bucket_size"),
-    )
+    ).persist()
+    salted.count()  # eager fill: both self-join branches must hit the cache
     # left side replicates each member to every salt group >= its own
     # (full pairing) while over-hard_cap buckets stay within-salt (sampled);
     # ordering of ids inside a pair is normalized afterwards (least/greatest)
@@ -170,14 +239,22 @@ def candidate_pairs(
         F.explode(F.sequence(F.col("salt"), seq_end)).alias("salt_r"),
     )
     right = salted.select(*key, F.col(id_col).alias("b"), F.col("salt").alias("salt_r"))
-    pairs = (
-        left.join(right, [*key, "salt_r"])
+    raw = (
+        left.hint("shuffle_hash").join(right, [*key, "salt_r"])
         .where(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
-        .dropDuplicates(["a", "b"])
     )
+    if min_band_collisions > 1:
+        pairs = (
+            raw.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_n_bands"))
+            .where(F.col("_n_bands") >= min_band_collisions)
+            .select("a", "b")
+        )
+    else:
+        pairs = raw.dropDuplicates(["a", "b"])
     return pairs, sampled
 
 

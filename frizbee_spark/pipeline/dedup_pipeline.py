@@ -49,6 +49,13 @@ class DedupConfig:
     #: the false-candidate rate at background jaccard ~0.05 near 1e-4
     num_bands: int = 32
     bucket_cap: int = 128
+    #: candidate gate: a pair must collide in >= this many of the 32 r=4
+    #: bands. At 2, background-similarity false candidates (~0.1 Jaccard
+    #: between unrelated boilerplate pages) drop ~10x while true near-dups
+    #: at Jaccard >= 0.7 still become candidates with P >= 0.997. Keep at 1
+    #: for precision-oriented bandings (few bands x large r) where even
+    #: true dups rarely collide twice.
+    min_band_collisions: int = 2
     jaccard_threshold: float = 0.5
     #: pairs with jaccard in [sw_gate, threshold) get SW-kernel verification;
     #: below sw_gate they are rejected without scoring
@@ -114,20 +121,13 @@ class DedupPipeline:
 
     def _stage_extract(self, pages: DataFrame) -> DataFrame:
         """Text extraction: byte-identical `text` per url (input invariant);
-        latest capture wins per url via warc_ts row_number."""
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        return (
-            pages.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "url",
-                F.xxhash64("url").alias("doc_id"),
-                "text",
-                "lang",
-                "warc_ts",
-            )
+        latest capture wins per url (extract_latest_per_url)."""
+        return extract_latest_per_url(pages).select(
+            "url",
+            F.xxhash64("url").alias("doc_id"),
+            "text",
+            "lang",
+            "warc_ts",
         )
 
     def _stage_signatures(self, docs: DataFrame) -> DataFrame:
@@ -142,11 +142,19 @@ class DedupPipeline:
         )
 
     def _stage_bands(self, signatures: DataFrame) -> DataFrame:
-        return lsh_bands(signatures, id_col="doc_id", num_bands=self.config.num_bands)
+        return lsh_bands(
+            signatures,
+            id_col="doc_id",
+            num_bands=self.config.num_bands,
+            num_perm=self.config.num_perm,
+        )
 
     def _stage_pairs(self, bands: DataFrame) -> DataFrame:
         pairs, sampled = candidate_pairs(
-            bands, id_col="doc_id", bucket_cap=self.config.bucket_cap
+            bands,
+            id_col="doc_id",
+            bucket_cap=self.config.bucket_cap,
+            min_band_collisions=self.config.min_band_collisions,
         )
         sampled_counts = sampled.agg(
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_buckets"),
@@ -257,6 +265,38 @@ class DedupPipeline:
         return self._read("clusters")
 
 
+def extract_latest_per_url(pages: DataFrame) -> DataFrame:
+    """Latest capture wins per url, without shuffling page payloads for
+    the (typically dominant) urls captured exactly once.
+
+    A global window over url would shuffle every html+text payload only to
+    pick winners inside ~singleton groups. Instead the RECAPTURED url set
+    (urls with >1 capture — small on snapshot-style inputs) is computed
+    from the url column alone (column-pruned scan, 8-byte-ish shuffle) and
+    broadcast: single-capture pages stream through a broadcast anti-join
+    with NO payload shuffle, and only the recaptured subset pays the
+    window. On recapture-heavy corpora where that set outgrows broadcast,
+    pass recapture_strategy='window' semantics by calling the plain window
+    path — the split is an optimization, not a semantic change."""
+    from pyspark.sql import Window
+
+    recaptured = (
+        pages.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("url")
+    )
+    singles = pages.join(F.broadcast(recaptured), "url", "left_anti")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    latest_dups = (
+        pages.join(F.broadcast(recaptured), "url", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return singles.unionByName(latest_dups)
+
+
 def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -281,14 +321,15 @@ def verify_pairs(
        borderline pairs (typo-level rewrites that shift many shingles).
 
     Multi-consumer intermediates (est, mid_scored) are materialized ONCE
-    via localCheckpoint — an eager but fully parallel stage boundary. A
-    lazy persist instead lets the three output branches race the cache
-    inside the caller's single action and recompute the UDF-join chain
-    concurrently (observed 3x); a barrier whose work is parallel costs
-    scheduling noise, a race costs whole stages. localCheckpoint blocks
-    are reference-counted by the ContextCleaner, so nothing needs manual
-    unpersist (`persist_registry` is kept for API compatibility and
-    receives nothing).
+    via eager columnar persist (persist + count) — an eager but fully
+    parallel stage boundary. A lazy persist instead lets the three output
+    branches race the cache inside the caller's single action and
+    recompute the join chain concurrently (observed 3x); a barrier whose
+    work is parallel costs scheduling noise, a race costs whole stages.
+    Columnar cache batches (not per-row checkpoint objects) keep millions
+    of intermediate rows GC-cheap. Cached frames are appended to
+    `persist_registry` so long-lived callers can unpersist after the final
+    union materializes; otherwise the ContextCleaner reclaims them.
 
     Returns (a, b, jaccard, sw_ratio) for accepted pairs."""
     c = config
@@ -311,24 +352,29 @@ def verify_pairs(
     sig_a = signatures.select(F.col("doc_id").alias("a"), F.col("signature").alias("sig_a"))
     sig_b = signatures.select(F.col("doc_id").alias("b"), F.col("signature").alias("sig_b"))
 
-    @pandas_udf(DoubleType())
-    def est_jaccard_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        if len(sa) == 0:
-            return pd.Series([], dtype=float)
-        ma = np.stack(sa.to_numpy())
-        mb = np.stack(sb.to_numpy())
-        return pd.Series((ma == mb).mean(axis=1))
+    # signature-agreement estimate entirely JVM-side: zip_with equality +
+    # aggregate sum inside codegen. No Arrow round-trip of 2x128x8B arrays
+    # per pair to Python for what is an elementwise compare.
+    est_expr = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.greatest(F.size("sig_a"), F.lit(1))
 
-    # ONE eager parallel materialization: three branches scan est, and a
-    # lazy persist lets them race the cache and recompute the pair-join +
-    # UDF chain concurrently (observed 3x recompute). localCheckpoint also
-    # cuts the lineage so downstream consumers scan materialized rows.
+    # ONE eager parallel materialization (columnar persist + count):
+    # three branches scan est, and a lazy persist lets them race the cache
+    # and recompute the pair-join chain concurrently (observed 3x
+    # recompute). Columnar cache batches keep the rows GC-cheap.
     est = (
         pairs.hint("shuffle_hash").join(sig_a, "a")
         .hint("shuffle_hash").join(sig_b, "b")
-        .select("a", "b", F.round(est_jaccard_udf("sig_a", "sig_b"), 6).alias("est"))
-        .localCheckpoint()
+        .select("a", "b", F.round(est_expr, 6).alias("est"))
+        .persist()
     )
+    est.count()
+    registry.append(est)
 
     accepted_est = est.where(F.col("est") >= est_hi).select(
         "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
@@ -371,8 +417,10 @@ def verify_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .localCheckpoint()  # two branches scan it (accepted + borderline)
+        .persist()  # two branches scan it (accepted + borderline)
     )
+    mid_scored.count()
+    registry.append(mid_scored)
 
     accepted_exact = mid_scored.where(
         F.col("jaccard") >= c.jaccard_threshold
@@ -420,25 +468,34 @@ def dedup_pages_single_dag(
     scaling measurement where stage-materialization IO would otherwise
     dominate small runs. Returns the cluster table (url, doc_id, cluster_id)."""
     c = config or DedupConfig()
-    from pyspark.sql import Window
 
-    # one eager parallel materialization per multi-consumer stage: lazy
-    # persists make concurrent consumers race the cache and recompute the
-    # expensive UDF chains (extract is consumed by signatures/shingles/
-    # texts/clusters; signatures by bands and both est join sides)
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    # one eager parallel materialization per multi-consumer stage (columnar
+    # persist + count): lazy persists make concurrent consumers race the
+    # cache and recompute the expensive UDF chains (extract is consumed by
+    # signatures/shingles/texts/clusters; signatures by bands and both est
+    # join sides), while row-object checkpoints (localCheckpoint) put every
+    # intermediate row on the GC heap — at ~400k docs that alone showed up
+    # as ~1s young-GC pauses stalling all task threads.
     docs = (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        extract_latest_per_url(pages)
         .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
-        .localCheckpoint()
+        .persist()
     )
+    docs.count()
     sigs = minhash_signatures(
         docs, text_col="text", id_col="doc_id",
         shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
-    ).localCheckpoint()
-    bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands)
-    pairs, _sampled = candidate_pairs(bands, id_col="doc_id", bucket_cap=c.bucket_cap)
+    ).persist()
+    sigs.count()
+    bands = lsh_bands(
+        sigs, id_col="doc_id", num_bands=c.num_bands, num_perm=c.num_perm
+    )
+    pairs, _sampled = candidate_pairs(
+        bands,
+        id_col="doc_id",
+        bucket_cap=c.bucket_cap,
+        min_band_collisions=c.min_band_collisions,
+    )
     verified = verify_pairs(pairs, docs, c, signatures=sigs)
     # driver_threshold=0: the measured throughput path must never serialize
     # clustering through a driver loop — distributed star contraction only

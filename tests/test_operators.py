@@ -208,3 +208,42 @@ def test_candidate_pairs_salted_full_pairing_midsize(spark):
     pairs, sampled = candidate_pairs(bands, bucket_cap=64, hard_cap=4096)
     assert pairs.count() == n * (n - 1) // 2
     assert sampled.count() == 0
+
+
+def test_spark_xxhash64_longs_parity(spark):
+    """The serial golden-oracle band hash must equal Spark's JVM xxhash64
+    bit-for-bit (lsh_bands runs the JVM expression; goldens run numpy)."""
+    from frizbee_spark.functions.hashing import spark_xxhash64_longs
+
+    rows = [(1, 2, 3), (-5, 7, 0), (2**62, -(2**62), 42), (987654321, -1, 31)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = [r[0] for r in df.select(F.xxhash64("x", "y", "z")).collect()]
+    exp = [
+        int(
+            np.int64(
+                spark_xxhash64_longs(
+                    [np.array([a]), np.array([b]), np.array([c])]
+                )[0]
+            )
+        )
+        for a, b, c in rows
+    ]
+    assert got == exp
+
+
+def test_lsh_bands_matches_serial_band_hashes(spark):
+    """Distributed lsh_bands (JVM codegen) vs the serial numpy band_hashes
+    used by golden oracles: identical (band_id, band_hash) per doc."""
+    from frizbee_spark.functions.hashing import band_hashes
+
+    sig = list(range(1, 17))  # 16 perms -> 4 bands x 4 rows
+    df = spark.createDataFrame([(7, sig)], "doc_id long, signature array<long>")
+    got = {
+        (r.band_id, r.band_hash)
+        for r in lsh_bands(df, num_bands=4, num_perm=16).collect()
+    }
+    exp = {
+        (b, int(np.int64(h)))
+        for b, h in enumerate(band_hashes(np.array(sig, dtype=np.uint64), 4))
+    }
+    assert got == exp

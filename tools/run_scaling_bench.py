@@ -40,8 +40,18 @@ def _build_spark(cpus: int):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SCALING_DRIVER_MEM", "48g"))
+        # shuffle/spill files on tmpfs: a cluster executor's local SSD
+        # stand-in — this VM's /tmp sits on slow virtio disk, which
+        # otherwise serializes shuffle-heavy stages behind IO
+        .config("spark.local.dir", _local_dir())
         .getOrCreate()
     )
+
+
+def _local_dir() -> str:
+    base = "/dev/shm/frizbee-spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 def worker(cpus: int, corpus_path: str) -> None:
