@@ -80,16 +80,17 @@ class AsciiKernel:
     -> exact bonus, across a batch of haystacks at once.
     """
 
+    #: dtype of the haystack code matrix (uint8 bytes here; uint32
+    #: codepoints in UnicodeKernel)
+    code_dtype = np.uint8
+
     def __init__(self, needle: str, config: Config):
         self.config = config
         self.scoring = config.scoring
         self.needle = needle
         self.needle_bytes = needle.encode("utf-8")
         self.case_sensitive = config.casing.respects_case_for(needle)
-        pairs = case_needle(self.needle_bytes, self.case_sensitive)
-        self.n_orig = np.array([p[0] for p in pairs], dtype=np.uint8)
-        self.n_flip = np.array([p[1] for p in pairs], dtype=np.uint8)
-        self.rows = len(pairs)
+        self._compile_needle()
         self.max_typos = config.max_typos
         self.min_len = (
             max(0, len(needle) - config.max_typos) if config.max_typos is not None else 0
@@ -105,6 +106,20 @@ class AsciiKernel:
         self.dtype = (
             np.uint8 if _score_fits_in_u8(self.rows, scoring) else np.uint16
         )
+
+    def _compile_needle(self) -> None:
+        """Per-code (orig, case-flipped) needle arrays; self.needle_codes is
+        the exact-match reference for the exact bonus."""
+        pairs = case_needle(self.needle_bytes, self.case_sensitive)
+        self.n_orig = np.array([p[0] for p in pairs], dtype=self.code_dtype)
+        self.n_flip = np.array([p[1] for p in pairs], dtype=self.code_dtype)
+        self.needle_codes = np.frombuffer(self.needle_bytes, dtype=np.uint8)
+        self.rows = len(pairs)
+
+    @staticmethod
+    def _encode_codes(b: bytes) -> np.ndarray:
+        """Haystack bytes -> code array the DP matrix is built from."""
+        return np.frombuffer(b, dtype=np.uint8)
 
     # ---- prefilter over a padded byte matrix ----
 
@@ -259,33 +274,66 @@ class AsciiKernel:
             up = _ssub(prev_row, gap_extend)
             up = _ssub(up, np.where(prev_mask, gap_open, dt(0)))
 
-            row = np.maximum(diag, up)
-            # log-shift horizontal gap scan (ascii_gap.rs:11-43), full width.
-            # The doubling extend penalty SATURATES at dtype-max: a clipped
-            # penalty still exceeds every reachable cell value (overflow
-            # guard / u8 eligibility), so the decayed lane is 0 either way —
-            # wrapping would instead under-penalize long shifts.
-            gex_int = int(gap_extend)
-            gop_int = int(gap_open)
-            shift = 1
-            for _ in range(n_shifts):
-                shifted = np.zeros_like(row)
-                shifted[:, shift:] = row[:, :-shift]
-                shifted_mm = np.zeros((n_hay, width), dtype=bool)
-                shifted_mm[:, shift:] = match_mask[:, :-shift]
-                pen_match = dt(min(gex_int + gop_int, dt_max))
-                pen_nomatch = dt(min(gex_int, dt_max))
-                penalty = np.where(shifted_mm, pen_match, pen_nomatch)
-                row = np.maximum(row, _ssub(shifted, penalty))
-                gex_int = min(gex_int * 2, dt_max)
-                shift *= 2
+            row = self._hgap_pass(
+                np.maximum(diag, up), match_mask, n_shifts, gap_extend, gap_open
+            )
 
             prev_row = row
             prev_mask = match_mask
 
         return prev_row.max(axis=1).astype(_U16)
 
+    def _include_prefix(
+        self, start: np.ndarray, t_start: np.ndarray, first_codes: np.ndarray
+    ) -> np.ndarray:
+        """Prefix-bonus eligibility: the trimmed window starts at offset 0
+        of the haystack (matcher/algo.rs:331-338, byte units)."""
+        return t_start == 0
+
+    def _hgap_pass(
+        self,
+        row: np.ndarray,
+        match_mask: np.ndarray,
+        n_shifts: int,
+        gap_extend,
+        gap_open,
+    ) -> np.ndarray:
+        """Horizontal gap scan: log-shift with doubling extend penalties
+        (ascii_gap.rs:11-43), full width. The doubling extend penalty
+        SATURATES at dtype-max: a clipped penalty still exceeds every
+        reachable cell value (overflow guard / u8 eligibility), so the
+        decayed lane is 0 either way — wrapping would instead
+        under-penalize long shifts."""
+        dt = self.dtype
+        dt_max = int(np.iinfo(dt).max)
+        n_hay, width = row.shape
+        gex_int = int(gap_extend)
+        gop_int = int(gap_open)
+        shift = 1
+        for _ in range(n_shifts):
+            shifted = np.zeros_like(row)
+            shifted[:, shift:] = row[:, :-shift]
+            shifted_mm = np.zeros((n_hay, width), dtype=bool)
+            shifted_mm[:, shift:] = match_mask[:, :-shift]
+            pen_match = dt(min(gex_int + gop_int, dt_max))
+            pen_nomatch = dt(min(gex_int, dt_max))
+            penalty = np.where(shifted_mm, pen_match, pen_nomatch)
+            row = np.maximum(row, _ssub(shifted, penalty))
+            gex_int = min(gex_int * 2, dt_max)
+            shift *= 2
+        return row
+
     # ---- full row pipeline ----
+
+    def _match_big_row(self, encoded_row: bytes):
+        """Row pipeline for haystacks > MAX_HAYSTACK_LEN (rare)."""
+        return _greedy_row(
+            self.needle_bytes,
+            encoded_row,
+            self.scoring,
+            self.case_sensitive,
+            self.max_typos,
+        )
 
     def match_batch(self, texts) -> BatchResult:
         """Run the full match_list row pipeline over a batch of strings."""
@@ -298,45 +346,48 @@ class AsciiKernel:
             # empty needle: everything matches with score 0 (matcher/mod.rs Empty)
             return BatchResult(np.ones(n_total, dtype=bool), scores, exact)
 
-        lengths = np.array([len(b) for b in encoded], dtype=np.int32)
-        eligible = np.nonzero(lengths >= self.min_len)[0]
+        byte_lengths = np.array([len(b) for b in encoded], dtype=np.int32)
+        eligible = np.nonzero(byte_lengths >= self.min_len)[0]
         if len(eligible) == 0:
             return BatchResult(matched, scores, exact)
 
         # oversized haystacks take the greedy path row-by-row (rare)
-        big = eligible[lengths[eligible] > MAX_HAYSTACK_LEN]
-        small = eligible[lengths[eligible] <= MAX_HAYSTACK_LEN]
+        big = eligible[byte_lengths[eligible] > MAX_HAYSTACK_LEN]
+        small = eligible[byte_lengths[eligible] <= MAX_HAYSTACK_LEN]
 
         for idx in big:
-            m = _greedy_row(
-                self.needle_bytes,
-                encoded[idx],
-                self.scoring,
-                self.case_sensitive,
-                self.max_typos,
-            )
+            m = self._match_big_row(encoded[idx])
             if m is not None:
                 matched[idx], scores[idx], exact[idx] = True, m[0], m[1]
 
         if len(small) == 0:
             return BatchResult(matched, scores, exact)
 
+        # code arrays (identity view for ascii; codepoints for unicode) —
+        # matrix packing, prefilter windows and trims are all in code units
+        codes: dict[int, np.ndarray] = {
+            int(i): self._encode_codes(encoded[i]) for i in small
+        }
+        lengths = byte_lengths.copy()
+        for i, c in codes.items():
+            lengths[i] = len(c)
+
         # length-bucketed processing keeps the padded matrices dense
         order = small[np.argsort(lengths[small], kind="stable")]
         for lo_pow in _bucket_bounds(lengths[order]):
             bucket = order[lo_pow]
-            self._match_bucket(bucket, encoded, lengths, matched, scores, exact)
+            self._match_bucket(bucket, codes, lengths, matched, scores, exact)
         return BatchResult(matched, scores, exact)
 
-    def _match_bucket(self, idxs, encoded, lengths, matched, scores, exact) -> None:
+    def _match_bucket(self, idxs, codes, lengths, matched, scores, exact) -> None:
         max_len = int(lengths[idxs].max()) if len(idxs) else 0
         width = 1
         while width < max(1, max_len):
             width *= 2
-        hay = np.zeros((len(idxs), width), dtype=np.uint8)
+        hay = np.zeros((len(idxs), width), dtype=self.code_dtype)
         for r, idx in enumerate(idxs):
-            b = encoded[idx]
-            hay[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            c = codes[int(idx)]
+            hay[r, : len(c)] = c
         blens = lengths[idxs]
 
         ok, start, end = self._prefilter_windows(hay, blens)
@@ -352,14 +403,17 @@ class AsciiKernel:
         t_width = 1
         while t_width < max(1, int(t_lens.max())):
             t_width *= 2
-        trimmed = np.zeros((len(survivors), t_width), dtype=np.uint8)
+        trimmed = np.zeros((len(survivors), t_width), dtype=self.code_dtype)
         for r, si in enumerate(survivors):
             trimmed[r, : t_lens[r]] = hay[si, t_start[r] : t_end[r]]
 
-        sw = self._sw_scores(trimmed, t_lens, include_prefix=(t_start == 0))
+        include_prefix = self._include_prefix(
+            start[survivors], t_start, hay[survivors, 0]
+        )
+        sw = self._sw_scores(trimmed, t_lens, include_prefix=include_prefix)
 
         # exact bonus (matcher/algo.rs:244-248)
-        nb = np.frombuffer(self.needle_bytes, dtype=np.uint8)
+        nb = self.needle_codes
         is_exact = include_exact & (t_lens == len(nb))
         if is_exact.any() and len(nb) <= t_width:
             eq_needle = (trimmed[:, : len(nb)] == nb[None, :]).all(axis=1)
@@ -376,6 +430,228 @@ class AsciiKernel:
         matched[out_idx] = True
         scores[out_idx] = sw
         exact[out_idx] = is_exact
+
+
+def _wadd16(a: np.ndarray, b) -> np.ndarray:
+    """Wrapping uint16 add."""
+    with np.errstate(over="ignore"):
+        return a + np.asarray(b, dtype=_U16)
+
+
+def _shr2d(mat: np.ndarray, shift: int) -> np.ndarray:
+    """Shift each row right by `shift` lanes, zero-filled (the adj vector
+    of the reference's cross-chunk transport is all-zero at full width)."""
+    out = np.zeros_like(mat)
+    out[:, shift:] = mat[:, :-shift]
+    return out
+
+
+class UnicodeKernel(AsciiKernel):
+    """Batched unicode kernel: the byte-lane recurrence of the reference's
+    unicode backend (unicode.rs:10-217, unicode_gap.rs:108-236) with a
+    batch axis added.
+
+    The haystack stays per BYTE; continuation bytes act as free "transport"
+    lanes so that codepoint-level semantics emerge: matches compare whole
+    utf-8 codepoint windows at lead lanes, horizontal gaps charge
+    gap_extend once per codepoint crossed (scalar_gex = total - cont), and
+    the decaying `pending` flag charges gap_open when a match-sourced span
+    first crosses a codepoint boundary. The prefilter and window trim run
+    on CODEPOINT matrices (prefilter_unicode semantics); _sw_scores
+    re-encodes the trimmed codepoint windows to bytes, reducing a trimmed
+    leading context char to its final byte exactly as the byte-level trim
+    does (matcher/algo.rs:331-338). Parity vs the scalar oracle matcher is
+    fuzz-tested in tests/test_kernel_parity.py. Oversized rows fall back
+    to the scalar matcher row pipeline (rare, bounded by MAX_HAYSTACK_LEN)."""
+
+    code_dtype = np.uint32
+
+    def _compile_needle(self) -> None:
+        from .core.oracle import case_needle_unicode
+
+        self.uchars = case_needle_unicode(self.needle, self.case_sensitive)
+        self.n_orig = np.array(
+            [ord(c.chars.decode("utf-8")) for c in self.uchars], dtype=np.uint32
+        )
+        self.n_flip = np.array(
+            [ord(c.flipped_chars.decode("utf-8")) for c in self.uchars],
+            dtype=np.uint32,
+        )
+        self.needle_codes = np.array([ord(ch) for ch in self.needle], dtype=np.uint32)
+        self.rows = len(self.uchars)
+
+    @staticmethod
+    def _encode_codes(b: bytes) -> np.ndarray:
+        s = b.decode("utf-8", errors="replace")
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    def _match_big_row(self, encoded_row: bytes):
+        from .core.matcher import Matcher
+
+        matcher = Matcher([Pattern.new(self.needle)], self.config)
+        m = matcher.match_one(encoded_row.decode("utf-8", errors="replace"), 0)
+        return None if m is None else (m.score, m.exact)
+
+    def _include_prefix(
+        self, start: np.ndarray, t_start: np.ndarray, first_codes: np.ndarray
+    ) -> np.ndarray:
+        """Byte-unit prefix eligibility: trimmed byte window starts at 0 —
+        start codepoint 0, or codepoint 1 preceded by a single-byte char."""
+        return (start == 0) | ((start == 1) & (first_codes < 128))
+
+    def _sw_scores(
+        self, hay: np.ndarray, lengths: np.ndarray, include_prefix: np.ndarray
+    ) -> np.ndarray:
+        """Batched byte-lane unicode SW. `hay` is the trimmed CODEPOINT
+        matrix from _match_bucket; rows are re-encoded to utf-8 (context
+        char -> final byte only when the window was left-trimmed)."""
+        n_hay = hay.shape[0]
+        if self.rows == 0 or n_hay == 0:
+            return np.zeros(n_hay, dtype=_U16)
+
+        rows_bytes: list[bytes] = []
+        for r in range(n_hay):
+            cps = hay[r, : lengths[r]]
+            text = "".join(chr(c) for c in cps)
+            enc = text.encode("utf-8", errors="surrogatepass")
+            if not include_prefix[r] and len(cps) and cps[0] >= 128:
+                # left-trim context char reduced to its final byte
+                first_len = len(chr(cps[0]).encode("utf-8", errors="surrogatepass"))
+                enc = enc[first_len - 1 :]
+            rows_bytes.append(enc)
+        byte_lens = np.array([len(b) for b in rows_bytes], dtype=np.int32)
+        width = 1
+        while width < max(1, int(byte_lens.max())):
+            width *= 2
+        bh = np.zeros((n_hay, width), dtype=np.uint8)
+        for r, b in enumerate(rows_bytes):
+            bh[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        return self._sw_scores_bytes(bh, byte_lens, include_prefix)
+
+    def _sw_scores_bytes(
+        self, hay: np.ndarray, lengths: np.ndarray, include_prefix: np.ndarray
+    ) -> np.ndarray:
+        """Transcription of oracle._score_haystack_unicode with a batch
+        axis; full-width lanes (adj transport vectors are zero)."""
+        s = self.scoring
+        n_hay, width = hay.shape
+        col = np.arange(width, dtype=np.int32)
+        valid = col[None, :] < lengths[:, None]
+
+        gap_extend = np.uint16(s.gap_extend_penalty)
+        gap_open = np.uint16(max(0, s.gap_open_penalty - s.gap_extend_penalty))
+        mpm = np.uint16((s.match_score + s.mismatch_penalty) & U16_MAX)
+        FULL = np.uint16(U16_MAX)
+
+        continuation = (hay > 0x7F) & (hay < 0xC0) & valid
+        scalar_start = ~continuation & valid
+        ss_u16 = np.where(scalar_start, FULL, np.uint16(0))
+        cont_gex = np.where(continuation, gap_extend, np.uint16(0))
+
+        # byte-class bonus masks (ascii.rs:64-95 semantics)
+        is_upper = (hay >= 65) & (hay <= 90)
+        is_lower = (hay >= 97) & (hay <= 122)
+        is_digit = (hay >= 48) & (hay <= 57)
+        is_delim = ~(is_upper | is_lower | is_digit | (hay > 127))
+        prev_lower = np.zeros_like(is_lower)
+        prev_lower[:, 1:] = is_lower[:, :-1]
+        prev_delim = np.zeros_like(is_delim)
+        prev_delim[:, 1:] = is_delim[:, :-1]
+        cap_mask = is_upper & prev_lower
+        delim_mask = prev_delim & ~is_delim
+
+        bonuses = np.where(delim_mask, np.uint16(s.delimiter_bonus), np.uint16(0))
+        bonuses = _wadd16(
+            bonuses, np.where(cap_mask, np.uint16(s.capitalization_bonus), np.uint16(0))
+        )
+        bonuses[:, 0] = _wadd16(
+            bonuses[:, 0],
+            np.where(include_prefix, np.uint16(s.prefix_bonus), np.uint16(0)),
+        )
+        bonuses = _wadd16(bonuses, mpm)
+
+        # whole-codepoint window match masks at lead lanes (unicode.rs:220-241)
+        shifted_hay = [hay]
+        for off in (1, 2, 3):
+            sh = np.zeros_like(hay)
+            sh[:, :-off] = hay[:, off:]
+            shifted_hay.append(sh)
+
+        def win_match(chars: bytes) -> np.ndarray:
+            m = scalar_start.copy()
+            for j, b in enumerate(chars):
+                m &= shifted_hay[j] == b
+            return m
+
+        prev_row = np.zeros((n_hay, width), dtype=_U16)
+        up_gap_mask = np.zeros((n_hay, width), dtype=_U16)
+        row = prev_row
+        for i in range(self.rows):
+            nc = self.uchars[i]
+            exact_bool = win_match(nc.chars)
+            if nc.flipped_chars != nc.chars:
+                match_bool = exact_bool | win_match(nc.flipped_chars)
+            else:
+                match_bool = exact_bool
+            match_mask = np.where(match_bool, FULL, np.uint16(0))
+            exact_u16 = np.where(exact_bool, FULL, np.uint16(0))
+
+            diag = np.zeros((n_hay, width), dtype=_U16)
+            diag[:, 1:] = prev_row[:, :-1]
+            diag = _wadd16(diag, match_mask & bonuses)
+            diag = _ssub(diag, np.uint16(s.mismatch_penalty))
+            diag = _wadd16(diag, exact_u16 & np.uint16(s.matching_case_bonus))
+            diag &= ss_u16
+
+            up = _ssub(prev_row, gap_extend)
+            up = _ssub(up, up_gap_mask & gap_open)
+            up &= ss_u16
+
+            row = self._propagate_unicode_gaps(
+                np.maximum(diag, up),
+                match_mask,
+                cont_gex,
+                ss_u16,
+                gap_open,
+                gap_extend,
+            )
+            prev_row = row
+            up_gap_mask = match_mask
+
+        return row.max(axis=1).astype(_U16)
+
+    @staticmethod
+    def _propagate_unicode_gaps(
+        row: np.ndarray,
+        pending: np.ndarray,
+        cont_gex_in: np.ndarray,
+        scalar_end_in: np.ndarray,
+        gap_open: np.uint16,
+        gap_extend: np.uint16,
+    ) -> np.ndarray:
+        """Batched oracle._propagate_unicode_gaps (unicode_gap.rs:168-236)
+        at full width with zero adj vectors."""
+        n_hay, width = row.shape
+        total_gex = np.full((n_hay, width), gap_extend, dtype=_U16)
+        cont_gex = cont_gex_in.copy()
+        scalar_end = scalar_end_in.copy()
+        gop = np.uint16(gap_open)
+        shift = 1
+        while shift < width:
+            shifted_row = _shr2d(row, shift)
+            shifted_pending = _shr2d(pending, shift)
+            scalar_gex = _ssub(total_gex, cont_gex)
+            crossed = shifted_pending & scalar_end
+            gap_penalty = _wadd16(scalar_gex, crossed & gop)
+            row = np.maximum(row, _ssub(shifted_row, gap_penalty))
+            pending = np.maximum(pending, _ssub(shifted_pending, scalar_end))
+            if shift * 2 >= width:
+                break
+            cont_gex = _wadd16(cont_gex, _shr2d(cont_gex, shift))
+            scalar_end = np.maximum(scalar_end, _shr2d(scalar_end, shift))
+            total_gex = _wadd16(total_gex, total_gex)
+            shift *= 2
+        return row
 
 
 def _greedy_row(
@@ -436,14 +712,13 @@ def _bucket_bounds(sorted_lengths: np.ndarray):
 def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult:
     """Score a batch of haystacks against one needle.
 
-    ASCII needles use the vectorized kernel; unicode needles (or literal
-    matching modes) fall back to the scalar oracle matcher row-by-row."""
+    Fuzzy matching is fully vectorized: ASCII needles on the uint8 byte
+    kernel, unicode needles on the uint32 codepoint kernel. Literal
+    matching modes fall back to the scalar matcher row-by-row."""
     config = config or Config()
-    use_vectorized = (
-        config.matching.is_fuzzy
-        and not config.unicode.respects_unicode_for(needle)
-    )
-    if use_vectorized:
+    if config.matching.is_fuzzy:
+        if config.unicode.respects_unicode_for(needle):
+            return UnicodeKernel(needle, config).match_batch(texts)
         return AsciiKernel(needle, config).match_batch(texts)
 
     matcher = Matcher([Pattern.new(needle)] if needle else [], config)

@@ -121,3 +121,54 @@ def test_kernel_u8_ineligible_long_needle():
 
     k = AsciiKernel("a" * 64, Config(max_typos=None))
     assert k.dtype == np.uint16
+
+
+class TestUnicodeKernelParity:
+    """Batched byte-lane unicode kernel (kernel.UnicodeKernel) vs the
+    scalar oracle matcher — same contract the ascii kernel is held to."""
+
+    def test_unicode_fuzz_vs_scalar_matcher(self):
+        import random
+
+        from frizbee_spark.core.config import CaseMatching, Config
+        from frizbee_spark.core.matcher import Matcher
+        from frizbee_spark.core.pattern import Pattern
+        from frizbee_spark.kernel import match_batch
+
+        random.seed(5)
+        alphabet = "aäbßcçdđeéfğhійk лm中n文o😀p- _/ABÇD"
+        needles = ["ä", "ßen", "çok", "文中", "éfğ", "naïve", "ÉF", "a文b", "ß中ж😀"]
+        cfgs = [
+            Config(),
+            Config(max_typos=None),
+            Config(max_typos=2),
+            Config(casing=CaseMatching.RESPECT),
+            Config(max_typos=0),
+        ]
+        for needle in needles:
+            texts = [
+                "".join(random.choice(alphabet) for _ in range(random.randint(0, 40)))
+                for _ in range(120)
+            ]
+            texts += [needle, " " + needle, needle.upper(), needle + "x", ""]
+            for cfg in cfgs:
+                matcher = Matcher([Pattern.new(needle)], cfg)
+                got = match_batch(needle, texts, cfg)
+                for i, t in enumerate(texts):
+                    r = matcher.match_one(t, i)
+                    exp = (r.score, r.exact) if r else None
+                    g = (
+                        (int(got.score[i]), bool(got.exact[i]))
+                        if got.matched[i]
+                        else None
+                    )
+                    assert g == exp, (needle, cfg.max_typos, t, g, exp)
+
+    def test_unicode_uses_vectorized_kernel(self):
+        from frizbee_spark.core.config import Config
+        from frizbee_spark.kernel import UnicodeKernel
+
+        k = UnicodeKernel("ßen", Config())
+        res = k.match_batch(["die straßen", "no match here...", "ßen"])
+        assert bool(res.matched[0]) and bool(res.matched[2])
+        assert bool(res.exact[2])
