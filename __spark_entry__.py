@@ -213,7 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_pairs(spark, sf):
         docs = _docs(spark, sf)
         sigs = minhash_signatures(docs, shingle_k=5, num_perm=64)
-        bands = lsh_bands(sigs, num_bands=16)
+        bands = lsh_bands(sigs, num_bands=16, num_perm=64)
         pairs, _dropped = candidate_pairs(bands, bucket_cap=64)
         return pairs
 

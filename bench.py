@@ -110,6 +110,10 @@ def run_benchmarks(spark, sf_dir: str) -> dict:
         n = df.count()
         timings[name] = round(time.perf_counter() - start, 4)
         _ = n
+        # release any cache a query persisted internally (outside the timed
+        # window): a retained cache's executor-memory/GC pressure otherwise
+        # taxes every subsequent query (observed 2-4x in round 2)
+        spark.catalog.clearCache()
 
     start = time.perf_counter()
     n_docs = dedup_end_to_end(spark, sf_dir)

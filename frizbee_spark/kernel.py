@@ -709,17 +709,147 @@ def _bucket_bounds(sorted_lengths: np.ndarray):
         yield slice(lo, hi)
 
 
+class LiteralKernel:
+    """Vectorized literal matching modes (exact / prefix / suffix /
+    substring) for ASCII needles — the batch mirror of
+    core.literal.LiteralMatcher (/root/reference/src/literal/algo.rs:229-313,
+    whose literal backend is the reference's FAST path). Candidate
+    positions, case-bonus counts, and positional bonuses (prefix /
+    capitalization / delimiter) are all computed as whole-matrix numpy
+    passes; the per-window bonus sum comes from a cumulative-sum gather, so
+    cost is O(batch x width x needle_len) with no per-row Python."""
+
+    def __init__(self, needle: str, config: Config):
+        from .core.literal import LiteralMatcher
+
+        needle_bytes = needle.encode("utf-8")
+        LiteralMatcher._guard(len(needle_bytes), config.scoring)
+        self.mode = config.matching
+        self.scoring = config.scoring
+        case_sensitive = config.casing.respects_case_for(needle)
+        pairs = case_needle(needle_bytes, case_sensitive)
+        self.orig = np.array([p[0] for p in pairs], dtype=np.uint8)
+        self.flip = np.array([p[1] for p in pairs], dtype=np.uint8)
+        self.n = len(pairs)
+
+    def match_batch(self, texts) -> BatchResult:
+        encoded = [t.encode("utf-8") for t in texts]
+        n_total = len(encoded)
+        matched = np.zeros(n_total, dtype=bool)
+        scores = np.zeros(n_total, dtype=_U16)
+        exact = np.zeros(n_total, dtype=bool)
+        lengths = np.array([len(b) for b in encoded], dtype=np.int64)
+        eligible = np.nonzero(lengths >= max(1, self.n))[0]
+        if self.n == 0 or len(eligible) == 0:
+            return BatchResult(matched, scores, exact)
+        order = eligible[np.argsort(lengths[eligible], kind="stable")]
+        for sl in _bucket_bounds(lengths[order]):
+            self._bucket(order[sl], encoded, lengths, matched, scores, exact)
+        return BatchResult(matched, scores, exact)
+
+    def _bucket(self, idxs, encoded, lengths, matched, scores, exact) -> None:
+        from .core.config import Matching
+
+        s = self.scoring
+        n = self.n
+        blens = lengths[idxs].astype(np.int64)
+        width = 1
+        while width < max(1, int(blens.max())):
+            width *= 2
+        width = max(width, n)
+        n_hay = len(idxs)
+        hay = np.zeros((n_hay, width), dtype=np.uint8)
+        for r, idx in enumerate(idxs):
+            b = encoded[int(idx)]
+            hay[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+        # positional bonuses over the whole matrix (literal/algo.rs:180-202):
+        # bonus[i] = prefix at 0; else capitalization (upper after lower) +
+        # delimiter (non-delim after delim). Padding bytes never enter a
+        # window (positions are clamped to len - n) so their values are inert.
+        upper = (hay >= 65) & (hay <= 90)
+        lower = (hay >= 97) & (hay <= 122)
+        digit = (hay >= 48) & (hay <= 57)
+        delim = ~(upper | lower | digit) & (hay <= 127)
+        bonus = np.zeros((n_hay, width), dtype=np.int32)
+        bonus[:, 0] = s.prefix_bonus
+        if width > 1:
+            bonus[:, 1:] = s.capitalization_bonus * (
+                upper[:, 1:] & lower[:, :-1]
+            ) + s.delimiter_bonus * (delim[:, :-1] & ~delim[:, 1:])
+        cum = np.zeros((n_hay, width + 1), dtype=np.int32)
+        np.cumsum(bonus, axis=1, out=cum[:, 1:])
+
+        if self.mode is Matching.SUBSTRING:
+            n_pos = width - n + 1
+            ok = np.ones((n_hay, n_pos), dtype=bool)
+            casecnt = np.zeros((n_hay, n_pos), dtype=np.int32)
+            for k in range(n):
+                seg = hay[:, k : k + n_pos]
+                eq = seg == self.orig[k]
+                ok &= eq | (seg == self.flip[k])
+                casecnt += eq
+            ok &= np.arange(n_pos, dtype=np.int64)[None, :] <= (blens - n)[:, None]
+            sc = (
+                n * s.match_score
+                + s.matching_case_bonus * casecnt
+                + (cum[:, n : n + n_pos] - cum[:, :n_pos])
+            )
+            sc[:, 0] += np.where(blens == n, s.exact_match_bonus, 0)
+            np.minimum(sc, U16_MAX, out=sc)
+            sc = np.where(ok, sc, -1)
+            # earliest position among maxima (argmax returns the first),
+            # matching LiteralMatcher.find's strict-improvement scan
+            best_pos = np.argmax(sc, axis=1)
+            best = sc[np.arange(n_hay), best_pos]
+            has = best >= 0
+            out_idx = idxs[has]
+            matched[out_idx] = True
+            scores[out_idx] = best[has].astype(_U16)
+            exact[out_idx] = (best_pos[has] == 0) & (blens[has] == n)
+            return
+
+        if self.mode is Matching.SUFFIX:
+            pos = blens - n
+        else:  # EXACT / PREFIX anchor at 0
+            pos = np.zeros(n_hay, dtype=np.int64)
+        gather = pos[:, None] + np.arange(n, dtype=np.int64)[None, :]
+        seg = hay[np.arange(n_hay)[:, None], gather]
+        eq = seg == self.orig[None, :]
+        ok = (eq | (seg == self.flip[None, :])).all(axis=1)
+        if self.mode is Matching.EXACT:
+            ok &= blens == n
+        casecnt = eq.sum(axis=1, dtype=np.int32)
+        rows = np.arange(n_hay)
+        sc = (
+            n * s.match_score
+            + s.matching_case_bonus * casecnt
+            + (cum[rows, pos + n] - cum[rows, pos])
+        )
+        is_exact = (pos == 0) & (blens == n)
+        sc = sc + np.where(is_exact, s.exact_match_bonus, 0)
+        np.minimum(sc, U16_MAX, out=sc)
+        out_idx = idxs[ok]
+        matched[out_idx] = True
+        scores[out_idx] = sc[ok].astype(_U16)
+        exact[out_idx] = is_exact[ok]
+
+
 def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult:
     """Score a batch of haystacks against one needle.
 
     Fuzzy matching is fully vectorized: ASCII needles on the uint8 byte
     kernel, unicode needles on the uint32 codepoint kernel. Literal
-    matching modes fall back to the scalar matcher row-by-row."""
+    matching modes run on the vectorized LiteralKernel for ASCII needles;
+    unicode literal needles (rare) fall back to the scalar matcher."""
     config = config or Config()
     if config.matching.is_fuzzy:
         if config.unicode.respects_unicode_for(needle):
             return UnicodeKernel(needle, config).match_batch(texts)
         return AsciiKernel(needle, config).match_batch(texts)
+
+    if needle and not config.unicode.respects_unicode_for(needle):
+        return LiteralKernel(needle, config).match_batch(texts)
 
     matcher = Matcher([Pattern.new(needle)] if needle else [], config)
     n = len(texts)

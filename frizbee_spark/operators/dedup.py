@@ -73,10 +73,15 @@ def minhash_signatures(
     out_schema = f"{id_col} long, signature array<long>"
 
     def _batches(iterator):
+        import os
+        import time
+
         import numpy as np
         import pyarrow as pa
 
+        timing = bool(os.environ.get("FRIZBEE_UDF_TIMING"))
         for batch in iterator:
+            t0 = time.perf_counter() if timing else 0.0
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col))
             if isinstance(texts, pa.ChunkedArray):  # pragma: no cover
@@ -85,46 +90,65 @@ def minhash_signatures(
             if n == 0:
                 continue
             sigs = np.empty((n, num_perm), dtype=np.uint64)
-            buffers = texts.buffers()
-            # StringArray buffers: [validity, int32 offsets, utf8 data]
-            # (LargeString uses int64 offsets — handle both)
-            off_dtype = (
-                np.int64 if pa.types.is_large_string(texts.type) else np.int32
-            )
-            offsets = np.frombuffer(
-                buffers[1], dtype=off_dtype, count=n + 1, offset=texts.offset * off_dtype().itemsize
-            )
-            # .copy(): touch the Arrow buffer ONCE with a linear memcpy.
-            # The IPC-received buffer's pages fault lazily, and faulting
-            # them through the strided rolling-hash reads measured ~10x
-            # slower than a sequential prefetch-friendly memcpy + hash.
-            data = (
-                np.frombuffer(buffers[2], dtype=np.uint8).copy()
-                if buffers[2] is not None
-                else np.empty(0, dtype=np.uint8)
-            )
-            # one vectorized rolling-hash pass over the concatenated buffer
-            all_hashes = H.hash_shingles(data, shingle_k)
+            # raw buffer VIEW (no copy): the fused stream reads each doc's
+            # bytes once, sequentially, inside its chunk
+            offsets, data = _string_buffers(texts, np, pa, copy=False)
+            t1 = time.perf_counter() if timing else 0.0
             nulls = (
                 texts.is_null().to_numpy(zero_copy_only=False)
                 if texts.null_count
                 else np.zeros(n, dtype=bool)
             )
-            for i in range(n):
-                s, e = int(offsets[i]), int(offsets[i + 1])
-                if nulls[i] or e - s < shingle_k:
-                    sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
-                    continue
-                sh = all_hashes[s : e - shingle_k + 1]
-                sigs[i] = H.minhash_signature(np.unique(sh), a, b)
+            valid = (~nulls) & (offsets[1:] - offsets[:-1] >= shingle_k)
+            sigs.fill(np.uint64(0xFFFFFFFFFFFFFFFF))
+            # fused chunked shingle-hash + reduceat minhash over REUSED
+            # scratch buffers: cache-resident, no per-batch large
+            # allocations (functions/hashing.py::minhash_docs_stream)
+            H.minhash_docs_stream(data, offsets, valid, shingle_k, a, b, sigs)
+            t2 = time.perf_counter() if timing else 0.0
             flat = pa.array(sigs.reshape(-1).astype(np.int64))
             list_offsets = pa.array(
                 np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
             )
             sig_col = pa.ListArray.from_arrays(list_offsets, flat)
+            if timing:
+                print(
+                    f"[minhash-batch] n={n} bytes={len(data)} "
+                    f"sec={time.perf_counter() - t0:.3f} "
+                    f"buf={t1 - t0:.3f} hash={t2 - t1:.3f} "
+                    f"mins={time.perf_counter() - t2:.3f} pid={os.getpid()}",
+                    flush=True,
+                )
             yield pa.RecordBatch.from_arrays([ids, sig_col], [id_col, "signature"])
 
     return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
+
+
+def _string_buffers(texts, np, pa, copy: bool = True):
+    """(offsets int64 rebased to 0, tight utf-8 data bytes) for a pyarrow
+    StringArray/LargeStringArray — honoring BOTH the array offset and the
+    value-offset window, so a SLICED array never copies (or rolling-hashes)
+    the full underlying buffer it shares with its parent.
+
+    `copy=True` materializes the slice with one linear memcpy (for callers
+    that scan the whole buffer strided); `copy=False` returns a zero-copy
+    view for callers that stream it sequentially anyway."""
+    buffers = texts.buffers()
+    n = len(texts)
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offsets = np.frombuffer(
+        buffers[1],
+        dtype=off_dtype,
+        count=n + 1,
+        offset=texts.offset * off_dtype().itemsize,
+    ).astype(np.int64)
+    if buffers[2] is None:
+        return offsets - offsets[0] if n else offsets, np.empty(0, dtype=np.uint8)
+    base, end = int(offsets[0]), int(offsets[-1])
+    data = np.frombuffer(buffers[2], dtype=np.uint8, count=end - base, offset=base)
+    if copy:
+        data = data.copy()
+    return offsets - base, data
 
 
 def lsh_bands(
@@ -140,11 +164,14 @@ def lsh_bands(
     arrays to Python for what is a pure hash of r fixed slots. At web
     scale this stage touches every document x band — keeping it in
     codegen removes the largest non-essential Python stage from the
-    pipeline. `num_perm` (signature length) is inferred from one row when
-    not supplied."""
+    pipeline. `num_perm` (signature length) is required: inferring it from
+    a `head()` would launch a driver action that partially executes the
+    upstream Python minhash stage before the real job."""
     if num_perm is None:
-        head = signatures.select("signature").head()
-        num_perm = len(head["signature"]) if head is not None else 0
+        raise ValueError(
+            "lsh_bands requires num_perm (signature length); head()-based "
+            "inference would run an extra Spark job over the minhash stage"
+        )
     rows = max(1, num_perm // num_bands) if num_perm else 1
     hashes = F.array(
         *[
@@ -174,6 +201,7 @@ def candidate_pairs(
     bucket_cap: int = 64,
     hard_cap: int = 4096,
     min_band_collisions: int = 1,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Unique (a, b) candidate pairs from shared LSH buckets, a < b — the
     salted, skew-aware groupBy mandated by the north rule.
@@ -193,23 +221,29 @@ def candidate_pairs(
       planted-dup recall stays >= 0.99. These buckets are returned in
       `sampled_buckets` for lineage accounting — bounded, never silent.
 
-    `min_band_collisions` demands a pair collide in at least that many of
-    the LSH bands before it becomes a candidate. On boilerplate-heavy
+    `min_band_collisions` demands a pair collide in at least that many
+    DISTINCT LSH bands before it becomes a candidate. On boilerplate-heavy
     corpora where unrelated pages share ~0.1 background Jaccard, r=4 bands
     produce single-band random collisions on O(n^2 * J^4) pair-band events;
     requiring >= 2 independent band hits suppresses that background by
     ~10x while keeping P(candidate) >= 0.997 for true near-dups at
     Jaccard >= 0.7 (binomial over 32 bands) — the recall >= 0.99 planted-dup
-    criterion is unaffected. The count is computed by the same shuffle that
-    deduplicated (a, b) before, so the gate is free.
+    criterion is unaffected. The gate counts distinct band_ids, never raw
+    join rows: within one salt group an unordered pair is emitted in both
+    orientations (2 rows for 1 collision), and salting splits/duplicates
+    emissions per band — row counts would make the gate salt-dependent.
 
     The salted member table is materialized ONCE (eager columnar persist)
     before the self-join: the two join branches are otherwise distinct
     subtrees that Catalyst cannot collapse with ReuseExchange, so each
     branch would recompute the bands-by-size join — doubling the work and
     racing two concurrent stages for executor memory. Columnar cache
-    batches (not row objects) keep millions of band rows GC-cheap; the
-    ContextCleaner drops the cache when the DataFrame goes out of scope."""
+    batches (not row objects) keep millions of band rows GC-cheap. The
+    cached frame is appended to `persist_registry` when given so callers
+    can unpersist it as soon as the pair set materializes — a long-lived
+    session otherwise carries the cache (and its executor-memory/GC
+    pressure) until the ContextCleaner notices, which measurably slowed
+    every subsequent query in the round-2 bench suite."""
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
     sampled = sizes.where(F.col("bucket_size") > hard_cap)
@@ -226,6 +260,8 @@ def candidate_pairs(
         g.alias("g"),
         F.col("bucket_size"),
     ).persist()
+    if persist_registry is not None:
+        persist_registry.append(salted)
     salted.count()  # eager fill: both self-join branches must hit the cache
     # left side replicates each member to every salt group >= its own
     # (full pairing) while over-hard_cap buckets stay within-salt (sampled);
@@ -243,18 +279,23 @@ def candidate_pairs(
         left.hint("shuffle_hash").join(right, [*key, "salt_r"])
         .where(F.col("a") != F.col("b"))
         .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("band_id"),
         )
     )
     if min_band_collisions > 1:
+        # distinct (a, b, band_id) first (partial-aggregated map-side), so
+        # the gate counts independent band collisions, not emission rows
         pairs = (
-            raw.groupBy("a", "b")
+            raw.dropDuplicates(["a", "b", "band_id"])
+            .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("_n_bands"))
             .where(F.col("_n_bands") >= min_band_collisions)
             .select("a", "b")
         )
     else:
-        pairs = raw.dropDuplicates(["a", "b"])
+        pairs = raw.select("a", "b").dropDuplicates(["a", "b"])
     return pairs, sampled
 
 
@@ -265,20 +306,47 @@ def simhash_values(
     shingle_k: int = 5,
 ) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash fallback; near-dups share most
-    bits, so banding by 16-bit pieces finds Hamming-close pairs."""
+    bits, so banding by 16-bit pieces finds Hamming-close pairs.
 
-    @pandas_udf(LongType())
-    def _sim(texts: pd.Series) -> pd.Series:
+    Same zero-copy mapInArrow structure as `minhash_signatures`: the
+    batch's utf-8 payload is hashed in ONE vectorized rolling-hash pass
+    over the concatenated Arrow buffer (no per-row Python string boxing),
+    and per-doc SimHashes come from the vectorized bit-majority in
+    `functions.hashing.simhash64`."""
+    out_schema = f"{id_col} long, simhash long"
+
+    def _batches(iterator):
         import numpy as np
+        import pyarrow as pa
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            shingles = H.hash_shingles(data, shingle_k)
-            out[i] = np.int64(H.simhash64(np.unique(shingles)).astype(np.int64))
-        return pd.Series(out)
+        for batch in iterator:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            if isinstance(texts, pa.ChunkedArray):  # pragma: no cover
+                texts = texts.combine_chunks()
+            n = len(texts)
+            if n == 0:
+                continue
+            offsets, data = _string_buffers(texts, np, pa)
+            all_hashes = H.hash_shingles(data, shingle_k)
+            nulls = (
+                texts.is_null().to_numpy(zero_copy_only=False)
+                if texts.null_count
+                else np.zeros(n, dtype=bool)
+            )
+            out = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                s, e = int(offsets[i]), int(offsets[i + 1])
+                if nulls[i] or e - s < shingle_k:
+                    out[i] = 0
+                    continue
+                sh = np.unique(all_hashes[s : e - shingle_k + 1])
+                out[i] = np.int64(H.simhash64(sh).astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out)], [id_col, "simhash"]
+            )
 
-    return df.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+    return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
 
 
 def simhash_candidate_pairs(

@@ -23,22 +23,25 @@ __all__ = ["connected_components"]
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star: connect every neighbor larger than u to u's min.
 
-    Single-pass formulation: the per-node minimum comes from a window over
-    the neighbor partition (ONE shuffle on u), not a groupBy + self-join —
-    the join formulation scans its (often lazily-derived) input three
-    times, which multiplies into full upstream recomputes when the input
-    lineage is a compound DAG."""
-    from pyspark.sql import Window
-
+    Skew-safe formulation: the per-node minimum comes from a map-side
+    partially-aggregated groupBy (a hub node's min is combined per
+    partition before the shuffle — no task ever materializes a full
+    neighbor list, unlike a Window.partitionBy, where the component-min
+    node of a giant duplicate cluster becomes a single-task straggler
+    AQE cannot split). The join back on `u` hash-partitions `both` exactly
+    like the groupBy did, so Catalyst/AQE reuses that exchange — the input
+    is still scanned once — and residual hot keys go through the AQE
+    skew-join splitter."""
     both = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    w = Window.partitionBy("u")
-    with_min = both.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
     # v > u implies v > m (m <= u), so no self-edge filter is needed
     return (
-        with_min.where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
         .dropDuplicates(["a", "b"])
     )
 
@@ -46,21 +49,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star: point all of u's smaller neighbors (and u) at the min.
 
-    Single-pass: the row holding the minimum neighbor contributes the
-    (u, m) self-edge; every other row contributes its (v, m) edge."""
-    from pyspark.sql import Window
-
+    Same skew-safe groupBy-min + exchange-reused join as `_large_star`;
+    the row holding the minimum neighbor contributes the (u, m) self-edge,
+    every other row its (v, m) edge."""
     directed = edges.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
-    w = Window.partitionBy("u")
-    with_min = directed.withColumn("m", F.min("v").over(w))
+    mins = directed.groupBy("u").agg(F.min("v").alias("_mn"))
     return (
-        with_min.select(
-            F.when(F.col("v") == F.col("m"), F.col("u"))
+        directed.join(mins, "u")
+        .select(
+            F.when(F.col("v") == F.col("_mn"), F.col("u"))
             .otherwise(F.col("v"))
             .alias("a"),
-            F.col("m").alias("b"),
+            F.col("_mn").alias("b"),
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
@@ -148,9 +150,10 @@ def connected_components(
 
     prev_sig = None
     for i in range(max_iterations):
-        # each half-round is checkpointed so the next star scans
-        # materialized rows, never a lazy compound
-        cur = _small_star(_large_star(cur).localCheckpoint())
+        # one materialization per full round: within a round each star
+        # scans its input through a single reused exchange (groupBy-min +
+        # join on the same key), so no mid-round checkpoint is needed
+        cur = _small_star(_large_star(cur))
         if checkpoint_dir is not None:
             path = os.path.join(checkpoint_dir, f"cc_iter_{i}")
             cur.write.mode("overwrite").parquet(path)

@@ -32,7 +32,6 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,11 +149,13 @@ class DedupPipeline:
         )
 
     def _stage_pairs(self, bands: DataFrame) -> DataFrame:
+        self._pairs_registry: list = []
         pairs, sampled = candidate_pairs(
             bands,
             id_col="doc_id",
             bucket_cap=self.config.bucket_cap,
             min_band_collisions=self.config.min_band_collisions,
+            persist_registry=self._pairs_registry,
         )
         sampled_counts = sampled.agg(
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_buckets"),
@@ -242,6 +243,9 @@ class DedupPipeline:
 
         if not finished("pairs"):
             self._write("pairs", self._stage_pairs(self._read("bands")))
+            for cached in getattr(self, "_pairs_registry", []):
+                cached.unpersist()
+            self._pairs_registry = []
         if stop_after == "pairs":
             return None
 
@@ -265,7 +269,11 @@ class DedupPipeline:
         return self._read("clusters")
 
 
-def extract_latest_per_url(pages: DataFrame) -> DataFrame:
+def extract_latest_per_url(
+    pages: DataFrame,
+    recapture_strategy: str = "auto",
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
     """Latest capture wins per url, without shuffling page payloads for
     the (typically dominant) urls captured exactly once.
 
@@ -275,19 +283,41 @@ def extract_latest_per_url(pages: DataFrame) -> DataFrame:
     from the url column alone (column-pruned scan, 8-byte-ish shuffle) and
     broadcast: single-capture pages stream through a broadcast anti-join
     with NO payload shuffle, and only the recaptured subset pays the
-    window. On recapture-heavy corpora where that set outgrows broadcast,
-    pass recapture_strategy='window' semantics by calling the plain window
-    path — the split is an optimization, not a semantic change."""
+    window.
+
+    `recapture_strategy`:
+    - 'broadcast': always broadcast the recaptured set (caller knows it is
+      small — e.g. snapshot corpora with no recaptures).
+    - 'window': plain per-url window over everything — the safe path for
+      recapture-heavy corpora (crawl archives) where an unbounded
+      broadcast would OOM the driver.
+    - 'auto' (default): count the recaptured urls first (a column-pruned
+      scan, cheap next to the payload work) and broadcast only below
+      `broadcast_threshold`, else fall back to the window path."""
     from pyspark.sql import Window
 
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    if recapture_strategy not in ("auto", "broadcast", "window"):
+        raise ValueError(f"unknown recapture_strategy {recapture_strategy!r}")
+    if recapture_strategy == "window":
+        return (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     recaptured = (
         pages.groupBy("url")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > 1)
         .select("url")
     )
+    if recapture_strategy == "auto" and recaptured.count() > broadcast_threshold:
+        return (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     singles = pages.join(F.broadcast(recaptured), "url", "left_anti")
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     latest_dups = (
         pages.join(F.broadcast(recaptured), "url", "left_semi")
         .withColumn("_rn", F.row_number().over(w))
@@ -295,6 +325,19 @@ def extract_latest_per_url(pages: DataFrame) -> DataFrame:
         .drop("_rn")
     )
     return singles.unionByName(latest_dups)
+
+
+def _fixed_list_matrix(col, np):
+    """Zero-copy (n, L) matrix view of a pyarrow list<int64> column whose
+    lists all share one length L (MinHash signatures). flatten() honors
+    slice offsets; reshape raises if the lists are ragged."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+        col = col.combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=True)
+    n = len(col)
+    return vals.reshape(n, len(vals) // n if n else 0)
 
 
 def verify_pairs(
@@ -320,16 +363,13 @@ def verify_pairs(
     3. the frizbee SW kernel on bounded windows only for exact-jaccard
        borderline pairs (typo-level rewrites that shift many shingles).
 
-    Multi-consumer intermediates (est, mid_scored) are materialized ONCE
-    via eager columnar persist (persist + count) — an eager but fully
-    parallel stage boundary. A lazy persist instead lets the three output
-    branches race the cache inside the caller's single action and
-    recompute the join chain concurrently (observed 3x); a barrier whose
-    work is parallel costs scheduling noise, a race costs whole stages.
-    Columnar cache batches (not per-row checkpoint objects) keep millions
-    of intermediate rows GC-cheap. Cached frames are appended to
-    `persist_registry` so long-lived callers can unpersist after the final
-    union materializes; otherwise the ContextCleaner reclaims them.
+    The est intermediate is materialized ONCE via eager columnar persist
+    (24B/pair — tiny); it is appended to `persist_registry` so callers can
+    unpersist after the final union materializes. Both python stages are
+    zero-copy mapInArrow passes over REUSED scratch buffers — no JVM
+    higher-order functions (zip_with / aggregate / array_intersect lambdas
+    are interpreted per element and measured 10-100x slower than the
+    equivalent numpy pass), and no per-batch large allocations.
 
     Returns (a, b, jaccard, sw_ratio) for accepted pairs."""
     c = config
@@ -338,10 +378,10 @@ def verify_pairs(
     sw_config = Config(max_typos=None, casing=CaseMatching.IGNORE)
     est_hi = c.jaccard_threshold + 0.12
     est_lo = max(0.0, c.sw_gate - 0.08)
+    jaccard_threshold = c.jaccard_threshold
+    sw_gate = c.sw_gate
+    sw_ratio_threshold = c.sw_ratio_threshold
     registry = persist_registry if persist_registry is not None else []
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, LongType
 
     if signatures is None:
         signatures = minhash_signatures(
@@ -352,25 +392,38 @@ def verify_pairs(
     sig_a = signatures.select(F.col("doc_id").alias("a"), F.col("signature").alias("sig_a"))
     sig_b = signatures.select(F.col("doc_id").alias("b"), F.col("signature").alias("sig_b"))
 
-    # signature-agreement estimate entirely JVM-side: zip_with equality +
-    # aggregate sum inside codegen. No Arrow round-trip of 2x128x8B arrays
-    # per pair to Python for what is an elementwise compare.
-    est_expr = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.greatest(F.size("sig_a"), F.lit(1))
+    def _est_batches(iterator):
+        import os
+        import time
 
-    # ONE eager parallel materialization (columnar persist + count):
-    # three branches scan est, and a lazy persist lets them race the cache
-    # and recompute the pair-join chain concurrently (observed 3x
-    # recompute). Columnar cache batches keep the rows GC-cheap.
+        import numpy as np
+        import pyarrow as pa
+
+        timing = bool(os.environ.get("FRIZBEE_UDF_TIMING"))
+        for batch in iterator:
+            t0 = time.perf_counter() if timing else 0.0
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            sa = _fixed_list_matrix(cols["sig_a"], np)
+            sb = _fixed_list_matrix(cols["sig_b"], np)
+            est = np.round((sa == sb).mean(axis=1), 6)
+            if timing:
+                print(
+                    f"[est-batch] n={n} sec={time.perf_counter() - t0:.3f} "
+                    f"pid={os.getpid()}",
+                    flush=True,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [cols["a"], cols["b"], pa.array(est)], ["a", "b", "est"]
+            )
+
     est = (
         pairs.hint("shuffle_hash").join(sig_a, "a")
         .hint("shuffle_hash").join(sig_b, "b")
-        .select("a", "b", F.round(est_expr, 6).alias("est"))
+        .select("a", "b", "sig_a", "sig_b")
+        .mapInArrow(_est_batches, "a long, b long, est double")
         .persist()
     )
     est.count()
@@ -379,114 +432,197 @@ def verify_pairs(
     accepted_est = est.where(F.col("est") >= est_hi).select(
         "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
     )
-    middle = est.where((F.col("est") >= est_lo) & (F.col("est") < est_hi))
+    middle = est.where((F.col("est") >= est_lo) & (F.col("est") < est_hi)).select("a", "b")
 
-    # exact shingle Jaccard for the est-boundary band: shingle each distinct
-    # doc ONCE, intersect JVM-side (no per-pair Python set work)
-    @pandas_udf(ArrayType(LongType()))
-    def shingles_udf(texts: pd.Series) -> pd.Series:
+    def _exact_and_sw_batches(iterator):
+        """Fused est-boundary verification: per batch, shingle-hash each
+        DISTINCT doc once (fused scratch-buffer stream, keyed by doc id),
+        exact-intersect the sorted sets per pair, and run the needle-grouped
+        SW kernel only for the jaccard-borderline remainder. One text join
+        feeds both signals — the round-2 layout shuffled 16KB shingle
+        arrays per pair and ran a second texts join for SW."""
+        import os
+        import time
+        from collections import defaultdict
+
+        import numpy as np
+        import pyarrow as pa
+
         from ..functions.hashing import hash_shingles
+        from ..kernel import match_batch
 
-        out = []
-        for t in texts.fillna(""):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            out.append(np.unique(hash_shingles(data, shingle_k)).astype(np.int64))
-        return pd.Series(out)
+        timing = bool(os.environ.get("FRIZBEE_UDF_TIMING"))
+        for batch in iterator:
+            t0 = time.perf_counter() if timing else 0.0
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            a_ids = cols["a"].to_numpy(zero_copy_only=False)
+            b_ids = cols["b"].to_numpy(zero_copy_only=False)
+            from ..operators.dedup import _string_buffers
 
+            offs_a, data_a = _string_buffers(cols["text_a"], np, pa, copy=False)
+            offs_b, data_b = _string_buffers(cols["text_b"], np, pa, copy=False)
+            sets: dict[int, np.ndarray] = {}
+
+            def shingle_set(doc_id, offs, data, row):
+                got = sets.get(doc_id)
+                if got is None:
+                    got = np.unique(
+                        hash_shingles(data[offs[row] : offs[row + 1]], shingle_k)
+                    )
+                    sets[doc_id] = got
+                return got
+
+            def text_at(offs, data, row) -> str:
+                return bytes(data[offs[row] : offs[row + 1]]).decode("utf-8")
+
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                xs = shingle_set(int(a_ids[i]), offs_a, data_a, i)
+                ys = shingle_set(int(b_ids[i]), offs_b, data_b, i)
+                if len(xs) == 0 and len(ys) == 0:
+                    jac[i] = 1.0
+                    continue
+                if len(xs) > len(ys):
+                    xs, ys = ys, xs
+                pos = np.searchsorted(ys, xs)
+                pos[pos == len(ys)] = 0
+                inter = int((ys[pos] == xs).sum())
+                union = len(xs) + len(ys) - inter
+                jac[i] = round(inter / max(union, 1), 6)
+
+            accept = jac >= jaccard_threshold
+            sw_ratio = np.where(accept, 1.0, 0.0)
+            borderline = np.nonzero((jac >= sw_gate) & (jac < jaccard_threshold))[0]
+            if len(borderline):
+                groups: dict[str, list[tuple[int, str]]] = defaultdict(list)
+                for i in map(int, borderline):
+                    x = text_at(offs_a, data_a, i)
+                    y = text_at(offs_b, data_b, i)
+                    short, other = (x, y) if len(x) <= len(y) else (y, x)
+                    needle = short[:window]
+                    if not needle:
+                        sw_ratio[i] = 1.0
+                        continue
+                    groups[needle].append((i, other[: 4 * window]))
+                # needle-grouped: each distinct needle compiles once and
+                # scores its haystacks (plus itself for the denominator)
+                # in one vectorized call
+                for needle, items in groups.items():
+                    hays = [h for _, h in items]
+                    hays.append(needle)
+                    res = match_batch(needle, hays, sw_config)
+                    self_score = int(res.score[-1])
+                    for j, (pos_i, _) in enumerate(items):
+                        sw_ratio[pos_i] = (
+                            round(int(res.score[j]) / self_score, 6) if self_score else 0.0
+                        )
+            keep = accept | (sw_ratio >= sw_ratio_threshold)
+            idx = np.nonzero(keep)[0]
+            if timing:
+                print(
+                    f"[verify-batch] n={n} borderline={len(borderline)} "
+                    f"kept={len(idx)} sec={time.perf_counter() - t0:.3f} "
+                    f"pid={os.getpid()}",
+                    flush=True,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a_ids[idx]),
+                    pa.array(b_ids[idx]),
+                    pa.array(jac[idx]),
+                    pa.array(sw_ratio[idx]),
+                ],
+                ["a", "b", "jaccard", "sw_ratio"],
+            )
+
+    # prune docs to the est-boundary ids BEFORE any text shuffle: the text
+    # join must scale with |middle| (often zero), never with |docs| — the
+    # unpruned layout shuffled every document's text twice to probe a
+    # possibly-empty middle band. AQE picks broadcast for the small sides
+    # at runtime and degrades to shuffle joins if the band is ever huge.
     mid_ids = (
         middle.select(F.col("a").alias("doc_id"))
         .unionAll(middle.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sh = docs.join(mid_ids, "doc_id", "left_semi").select(
-        "doc_id", shingles_udf("text").alias("sh")
-    )
-    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    mid_scored = (
-        middle.hint("shuffle_hash").join(sh_a, "a")
-        .hint("shuffle_hash").join(sh_b, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.when((F.size("sh_a") == 0) & (F.size("sh_b") == 0), F.lit(1.0))
-                .otherwise(inter / F.greatest(union, F.lit(1))),
-                6,
-            ).alias("jaccard"),
+    docs_mid = docs.join(mid_ids, "doc_id", "left_semi").select("doc_id", "text")
+    texts_a = docs_mid.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    texts_b = docs_mid.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    checked = (
+        middle.join(texts_a, "a")
+        .join(texts_b, "b")
+        .select("a", "b", "text_a", "text_b")
+        .mapInArrow(
+            _exact_and_sw_batches,
+            "a long, b long, jaccard double, sw_ratio double",
         )
-        .persist()  # two branches scan it (accepted + borderline)
     )
-    mid_scored.count()
-    registry.append(mid_scored)
+    return accepted_est.unionByName(checked)
 
-    accepted_exact = mid_scored.where(
-        F.col("jaccard") >= c.jaccard_threshold
-    ).select("a", "b", "jaccard", F.lit(1.0).alias("sw_ratio"))
-    borderline = mid_scored.where(
-        (F.col("jaccard") >= c.sw_gate) & (F.col("jaccard") < c.jaccard_threshold)
-    )
+def _fast_scratch_dir(prefix: str) -> str:
+    """Scratch dir for stage materialization: tmpfs when available (the
+    stand-in for a cluster executor's local SSD — this VM's /tmp sits on
+    slow virtio disk), else the system tempdir."""
+    import tempfile
 
-    @pandas_udf(DoubleType())
-    def sw_ratio_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        from ..kernel import match_batch
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
-        out = np.zeros(len(ta))
-        ta = ta.fillna("")
-        tb = tb.fillna("")
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            short, other = (x, y) if len(x) <= len(y) else (y, x)
-            needle = short[:window]
-            if not needle:
-                out[i] = 1.0
-                continue
-            hay = other[: 4 * window]
-            res = match_batch(needle, [hay, needle], sw_config)
-            self_score = int(res.score[1])
-            out[i] = int(res.score[0]) / self_score if self_score else 0.0
-        return pd.Series(out)
-
-    # texts join only for the (small) borderline set needing SW rescue
-    texts_a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    texts_b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    rescued = (
-        borderline.hint("shuffle_hash").join(texts_a, "a")
-        .hint("shuffle_hash").join(texts_b, "b")
-        .withColumn("sw_ratio", F.round(sw_ratio_udf("text_a", "text_b"), 6))
-        .where(F.col("sw_ratio") >= c.sw_ratio_threshold)
-        .select("a", "b", "jaccard", "sw_ratio")
-    )
-    return accepted_est.unionByName(accepted_exact).unionByName(rescued)
 
 def dedup_pages_single_dag(
-    spark: SparkSession, pages: DataFrame, config: DedupConfig | None = None
+    spark: SparkSession,
+    pages: DataFrame,
+    config: DedupConfig | None = None,
+    workdir: str | None = None,
+    cleanup: bool = True,
 ) -> DataFrame:
-    """The same dedup job as DedupPipeline but as one lazy DAG with in-memory
-    persists instead of per-stage parquet checkpoints — used for throughput /
-    scaling measurement where stage-materialization IO would otherwise
-    dominate small runs. Returns the cluster table (url, doc_id, cluster_id)."""
-    c = config or DedupConfig()
+    """The same dedup job as DedupPipeline, materializing each stage to
+    parquet on fast local scratch (tmpfs) instead of keeping one giant lazy
+    DAG — the throughput/scaling measurement path.
 
-    # one eager parallel materialization per multi-consumer stage (columnar
-    # persist + count): lazy persists make concurrent consumers race the
-    # cache and recompute the expensive UDF chains (extract is consumed by
-    # signatures/shingles/texts/clusters; signatures by bands and both est
-    # join sides), while row-object checkpoints (localCheckpoint) put every
-    # intermediate row on the GC heap — at ~400k docs that alone showed up
-    # as ~1s young-GC pauses stalling all task threads.
-    docs = (
-        extract_latest_per_url(pages)
-        .select("url", F.xxhash64("url").alias("doc_id"), "text", "lang")
-        .persist()
+    Why parquet stage-cuts and not in-memory persists: `persist()` caches
+    DATA but keeps the full logical PLAN. By the verify/CC stages the
+    accumulated plan is deep enough that Catalyst+AQE planning runs 10-16s
+    per action ON THE DRIVER (measured via event-log job gaps: 51s of a
+    119s run was inter-stage driver think-time) — serial time that Amdahl's
+    law turns straight into lost scaling efficiency. A parquet stage cut
+    makes every downstream action plan against a shallow scan (planning
+    drops to ~ms), keeps executor memory free of cache+GC pressure, and is
+    exactly what the checkpointed production pipeline (DedupPipeline) does
+    at 100 TB — where stage boundaries land on the distributed FS anyway.
+
+    Returns the cluster table (url, doc_id, cluster_id); `workdir` holds
+    the stage parquets (auto-created on tmpfs when None; removed on
+    success when `cleanup`)."""
+    import shutil
+
+    c = config or DedupConfig()
+    own_workdir = workdir is None
+    if own_workdir:
+        workdir = _fast_scratch_dir("frizbee_dedup_dag_")
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    registry: list = []
+    docs = cut(
+        extract_latest_per_url(pages).select(
+            "url", F.xxhash64("url").alias("doc_id"), "text", "lang"
+        ),
+        "docs",
     )
-    docs.count()
-    sigs = minhash_signatures(
-        docs, text_col="text", id_col="doc_id",
-        shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
-    ).persist()
-    sigs.count()
+    sigs = cut(
+        minhash_signatures(
+            docs, text_col="text", id_col="doc_id",
+            shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
+        ),
+        "sigs",
+    )
     bands = lsh_bands(
         sigs, id_col="doc_id", num_bands=c.num_bands, num_perm=c.num_perm
     )
@@ -495,16 +631,29 @@ def dedup_pages_single_dag(
         id_col="doc_id",
         bucket_cap=c.bucket_cap,
         min_band_collisions=c.min_band_collisions,
+        persist_registry=registry,
     )
-    verified = verify_pairs(pairs, docs, c, signatures=sigs)
+    pairs = cut(pairs, "pairs")
+    verified = cut(
+        verify_pairs(pairs, docs, c, signatures=sigs, persist_registry=registry),
+        "verify",
+    )
+    for cached in registry:
+        cached.unpersist()
     # driver_threshold=0: the measured throughput path must never serialize
     # clustering through a driver loop — distributed star contraction only
     components = connected_components(
         spark, verified.select("a", "b"), driver_threshold=0
     )
-    clusters = docs.join(
-        components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-    ).select(
-        "url", "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    clusters = cut(
+        docs.join(
+            components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select(
+            "url", "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        ),
+        "clusters",
     )
+    if own_workdir and cleanup:
+        for name in ("docs", "sigs", "pairs", "verify"):
+            shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
     return clusters

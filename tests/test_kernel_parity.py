@@ -172,3 +172,47 @@ class TestUnicodeKernelParity:
         res = k.match_batch(["die straßen", "no match here...", "ßen"])
         assert bool(res.matched[0]) and bool(res.matched[2])
         assert bool(res.exact[2])
+
+
+class TestLiteralKernelParity:
+    """Vectorized LiteralKernel == scalar LiteralMatcher (via Matcher) for
+    every literal matching mode (literal/algo.rs:229-313)."""
+
+    @pytest.mark.parametrize("mode_name", ["EXACT", "PREFIX", "SUFFIX", "SUBSTRING"])
+    @pytest.mark.parametrize("casing", [CaseMatching.IGNORE, CaseMatching.RESPECT, CaseMatching.SMART])
+    def test_literal_fuzz_vs_scalar(self, mode_name, casing):
+        from frizbee_spark.core.config import Matching
+
+        rng = random.Random(4242)
+        mode = getattr(Matching, mode_name)
+        for needle in ["spark", "Spark", "a", "the Scan", "x/y.z", "0_1"]:
+            haystacks = [_rand_string(rng, 64) for _ in range(50)]
+            haystacks += [
+                needle, needle.lower(), needle.upper(),
+                "xx" + needle, needle + "yy", "xx" + needle + "yy",
+                needle + " " + needle, "", "x",
+                "Xx" + needle.upper() + needle.lower(),
+            ]
+            cfg = Config(matching=mode, casing=casing)
+            _assert_parity(needle, haystacks, cfg)
+
+    def test_literal_uses_vectorized_kernel(self):
+        from frizbee_spark.core.config import Matching
+        from frizbee_spark.kernel import LiteralKernel
+
+        k = LiteralKernel("abc", Config(matching=Matching.SUBSTRING))
+        res = k.match_batch(["xxabcxx", "noope", "abc"])
+        assert list(res.matched) == [True, False, True]
+        assert bool(res.exact[2]) and not bool(res.exact[0])
+
+    def test_literal_multibyte_haystack(self):
+        from frizbee_spark.core.config import Matching
+
+        # ASCII needle over utf-8 haystacks: byte-level comparisons must
+        # never match continuation bytes, and bonuses use raw byte classes
+        for mode in [Matching.SUBSTRING, Matching.PREFIX, Matching.SUFFIX]:
+            _assert_parity(
+                "ab",
+                ["日本ab語", "ab日本", "日本ab", "日aβb本", "åb"],
+                Config(matching=mode),
+            )

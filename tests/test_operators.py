@@ -55,7 +55,7 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     by_id = {r.doc_id: tuple(r.signature) for r in rows}
     assert by_id[0] == by_id[1]  # identical text -> identical signature
 
-    bands = lsh_bands(sigs, num_bands=16)
+    bands = lsh_bands(sigs, num_bands=16, num_perm=64)
     pairs, dropped = candidate_pairs(bands, bucket_cap=10)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (0, 1) in got
