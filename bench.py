@@ -21,7 +21,9 @@ import time
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    from frizbee_spark.runtime import apply_allocator_env
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("frizbee-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
@@ -31,8 +33,8 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .getOrCreate()
     )
+    return apply_allocator_env(builder).getOrCreate()
 
 
 def dedup_end_to_end(spark, sf_dir: str) -> int:
@@ -40,11 +42,10 @@ def dedup_end_to_end(spark, sf_dir: str) -> int:
     capped pairs -> verify -> connected components -> clusters) over the
     documents table dressed as web_pages; returns number of docs."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
-    from frizbee_spark.pipeline.dedup_pipeline import DedupPipeline
+    from frizbee_spark.pipeline.dedup_pipeline import DedupPipeline, _fast_scratch_dir
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
@@ -70,7 +71,9 @@ def dedup_end_to_end(spark, sf_dir: str) -> int:
         # the >=2-band gate stays off here (it belongs to 32x4 banding)
         min_band_collisions=1,
     )
-    workdir = tempfile.mkdtemp(prefix="frizbee_bench_dedup_")
+    # tmpfs scratch (the executor-local-SSD stand-in): stage checkpoints on
+    # the virtio /tmp disk serialize the pipeline behind IO
+    workdir = _fast_scratch_dir("frizbee_bench_dedup_")
     try:
         pipeline = DedupPipeline(spark, workdir, config)
         clusters = pipeline.run(pages, resume=False)

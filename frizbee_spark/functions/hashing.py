@@ -207,65 +207,6 @@ def minhash_docs_stream(
             i = j
 
 
-def minhash_signatures_batch(
-    all_hashes: np.ndarray,
-    starts: np.ndarray,
-    ends: np.ndarray,
-    valid: np.ndarray,
-    a: np.ndarray,
-    b: np.ndarray,
-    out: np.ndarray,
-    chunk_windows: int = 1 << 15,
-) -> None:
-    """Fill `out[(n_docs, num_perm)]` with MinHash signatures for every doc
-    whose window range `[starts[i], ends[i])` into `all_hashes` is valid.
-
-    The batch-axis formulation that actually scales with cores: docs are
-    processed in chunks whose compacted window buffer (~256KB) stays
-    L2-resident, and each permutation is ONE 1-D multiply-add over the
-    chunk followed by a per-doc `np.minimum.reduceat`. The per-doc
-    outer-product formulation (`minhash_signature`) streams
-    num_perm * n_windows * 8B of temporaries per doc (~16MB at 2KB docs)
-    through DRAM — 32 concurrent workers saturate memory bandwidth and
-    per-core throughput collapses ~18x (measured: 0.8ms/doc alone,
-    14.4ms/doc under local[32]). Here DRAM traffic is one compact copy of
-    the windows per chunk; everything else is cache-resident.
-
-    Duplicates are NOT removed: min over a multiset equals min over its
-    set, so results are bit-identical to `minhash_signature(np.unique(w))`.
-    Invalid docs (null / shorter than k) must be pre-filled by the caller
-    (the all-ones sentinel)."""
-    n = len(starts)
-    num_perm = len(a)
-    widths = ends - starts
-    i = 0
-    with np.errstate(over="ignore"):
-        while i < n:
-            j = i
-            total = 0
-            while j < n:
-                w = int(widths[j]) if valid[j] else 0
-                if total > 0 and total + w > chunk_windows:
-                    break
-                total += w
-                j += 1
-            vd = np.array([t for t in range(i, j) if valid[t]], dtype=np.int64)
-            if len(vd):
-                seg = np.concatenate(
-                    [all_hashes[starts[t] : ends[t]] for t in vd]
-                )
-                bounds = np.zeros(len(vd), dtype=np.int64)
-                np.cumsum(widths[vd[:-1]], out=bounds[1:])
-                tmp = np.empty(len(seg), dtype=np.uint64)
-                mins = np.empty((num_perm, len(vd)), dtype=np.uint64)
-                for p in range(num_perm):
-                    np.multiply(seg, a[p], out=tmp)
-                    tmp += b[p]
-                    mins[p] = np.minimum.reduceat(tmp, bounds)
-                out[vd] = mins.T
-            i = j
-
-
 _P64_1 = np.uint64(0x9E3779B185EBCA87)
 _P64_2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _P64_3 = np.uint64(0x165667B19E3779F9)

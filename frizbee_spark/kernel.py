@@ -70,6 +70,10 @@ class BatchResult:
     matched: np.ndarray  # bool  (N,)
     score: np.ndarray  # uint16 (N,)
     exact: np.ndarray  # bool  (N,)
+    #: haystack offset of the final matched position (src/lib.rs:150-152,
+    #: the `match_end_col` feature surface): first max-scoring cell of the
+    #: final DP row plus the window-trim start; 0 for unmatched rows
+    end_col: np.ndarray | None = None  # uint16 (N,)
 
 
 class AsciiKernel:
@@ -228,7 +232,7 @@ class AsciiKernel:
         s = self.scoring
         n_hay, width = hay.shape
         if self.rows == 0 or n_hay == 0:
-            return np.zeros(n_hay, dtype=_U16)
+            return np.zeros(n_hay, dtype=_U16), np.zeros(n_hay, dtype=_U16)
 
         dt = self.dtype
         dt_max = int(np.iinfo(dt).max)
@@ -281,7 +285,13 @@ class AsciiKernel:
             prev_row = row
             prev_mask = match_mask
 
-        return prev_row.max(axis=1).astype(_U16)
+        # end_col: FIRST max-scoring cell of the final row (algo/mod.rs:
+        # 165-197 iterates chunks with a strictly-greater update, i.e. the
+        # earliest occurrence — np.argmax matches that exactly)
+        return (
+            prev_row.max(axis=1).astype(_U16),
+            np.argmax(prev_row, axis=1).astype(_U16),
+        )
 
     def _include_prefix(
         self, start: np.ndarray, t_start: np.ndarray, first_codes: np.ndarray
@@ -342,14 +352,15 @@ class AsciiKernel:
         matched = np.zeros(n_total, dtype=bool)
         scores = np.zeros(n_total, dtype=_U16)
         exact = np.zeros(n_total, dtype=bool)
+        end_cols = np.zeros(n_total, dtype=_U16)
         if self.rows == 0:
             # empty needle: everything matches with score 0 (matcher/mod.rs Empty)
-            return BatchResult(np.ones(n_total, dtype=bool), scores, exact)
+            return BatchResult(np.ones(n_total, dtype=bool), scores, exact, end_cols)
 
         byte_lengths = np.array([len(b) for b in encoded], dtype=np.int32)
         eligible = np.nonzero(byte_lengths >= self.min_len)[0]
         if len(eligible) == 0:
-            return BatchResult(matched, scores, exact)
+            return BatchResult(matched, scores, exact, end_cols)
 
         # oversized haystacks take the greedy path row-by-row (rare)
         big = eligible[byte_lengths[eligible] > MAX_HAYSTACK_LEN]
@@ -359,9 +370,10 @@ class AsciiKernel:
             m = self._match_big_row(encoded[idx])
             if m is not None:
                 matched[idx], scores[idx], exact[idx] = True, m[0], m[1]
+                end_cols[idx] = m[2]
 
         if len(small) == 0:
-            return BatchResult(matched, scores, exact)
+            return BatchResult(matched, scores, exact, end_cols)
 
         # code arrays (identity view for ascii; codepoints for unicode) —
         # matrix packing, prefilter windows and trims are all in code units
@@ -376,10 +388,12 @@ class AsciiKernel:
         order = small[np.argsort(lengths[small], kind="stable")]
         for lo_pow in _bucket_bounds(lengths[order]):
             bucket = order[lo_pow]
-            self._match_bucket(bucket, codes, lengths, matched, scores, exact)
-        return BatchResult(matched, scores, exact)
+            self._match_bucket(bucket, codes, lengths, matched, scores, exact, end_cols)
+        return BatchResult(matched, scores, exact, end_cols)
 
-    def _match_bucket(self, idxs, codes, lengths, matched, scores, exact) -> None:
+    def _match_bucket(
+        self, idxs, codes, lengths, matched, scores, exact, end_cols
+    ) -> None:
         max_len = int(lengths[idxs].max()) if len(idxs) else 0
         width = 1
         while width < max(1, max_len):
@@ -410,7 +424,12 @@ class AsciiKernel:
         include_prefix = self._include_prefix(
             start[survivors], t_start, hay[survivors, 0]
         )
-        sw = self._sw_scores(trimmed, t_lens, include_prefix=include_prefix)
+        sw, sw_end = self._sw_scores(trimmed, t_lens, include_prefix=include_prefix)
+        # end_col in ORIGINAL haystack offsets: trimmed-window argmax plus
+        # the trim start (matcher/algo.rs:257-261 saturating_add)
+        end_global = np.minimum(
+            sw_end.astype(np.int64) + t_start.astype(np.int64), U16_MAX
+        ).astype(_U16)
 
         # exact bonus (matcher/algo.rs:244-248)
         nb = self.needle_codes
@@ -430,6 +449,7 @@ class AsciiKernel:
         matched[out_idx] = True
         scores[out_idx] = sw
         exact[out_idx] = is_exact
+        end_cols[out_idx] = end_global
 
 
 def _wadd16(a: np.ndarray, b) -> np.ndarray:
@@ -507,7 +527,7 @@ class UnicodeKernel(AsciiKernel):
         char -> final byte only when the window was left-trimmed)."""
         n_hay = hay.shape[0]
         if self.rows == 0 or n_hay == 0:
-            return np.zeros(n_hay, dtype=_U16)
+            return np.zeros(n_hay, dtype=_U16), np.zeros(n_hay, dtype=_U16)
 
         rows_bytes: list[bytes] = []
         for r in range(n_hay):
@@ -618,7 +638,7 @@ class UnicodeKernel(AsciiKernel):
             prev_row = row
             up_gap_mask = match_mask
 
-        return row.max(axis=1).astype(_U16)
+        return row.max(axis=1).astype(_U16), np.argmax(row, axis=1).astype(_U16)
 
     @staticmethod
     def _propagate_unicode_gaps(
@@ -660,9 +680,12 @@ def _greedy_row(
     scoring: Scoring,
     case_sensitive: bool,
     max_typos: int | None,
-) -> tuple[int, bool] | None:
+) -> tuple[int, bool, int] | None:
     """Row pipeline for haystacks > MAX_HAYSTACK_LEN: prefilter then greedy
-    score; never exact (window covers all, but huge haystack != needle)."""
+    score; never exact (window covers all, but huge haystack != needle).
+    Returns (score, exact, end_col) — end_col mirrors the reference's
+    oversized path (algo/mod.rs:167-178): last greedy-matched index of the
+    FULL haystack, 0 when the greedy pass finds nothing."""
     from .core.prefilter import prefilter_ascii, trim_haystack
 
     if max_typos is not None:
@@ -688,7 +711,9 @@ def _greedy_row(
     is_exact = include_exact and needle == trimmed
     if is_exact:
         score = min(U16_MAX, score + scoring.exact_match_bonus)
-    return score, is_exact
+    full = match_greedy(needle, haystack, scoring, case_sensitive, True)
+    end_col = min(full[1][-1], U16_MAX) if full and full[1] else 0
+    return score, is_exact, end_col
 
 
 def _bucket_bounds(sorted_lengths: np.ndarray):
@@ -738,16 +763,17 @@ class LiteralKernel:
         matched = np.zeros(n_total, dtype=bool)
         scores = np.zeros(n_total, dtype=_U16)
         exact = np.zeros(n_total, dtype=bool)
+        end_cols = np.zeros(n_total, dtype=_U16)
         lengths = np.array([len(b) for b in encoded], dtype=np.int64)
         eligible = np.nonzero(lengths >= max(1, self.n))[0]
         if self.n == 0 or len(eligible) == 0:
-            return BatchResult(matched, scores, exact)
+            return BatchResult(matched, scores, exact, end_cols)
         order = eligible[np.argsort(lengths[eligible], kind="stable")]
         for sl in _bucket_bounds(lengths[order]):
-            self._bucket(order[sl], encoded, lengths, matched, scores, exact)
-        return BatchResult(matched, scores, exact)
+            self._bucket(order[sl], encoded, lengths, matched, scores, exact, end_cols)
+        return BatchResult(matched, scores, exact, end_cols)
 
-    def _bucket(self, idxs, encoded, lengths, matched, scores, exact) -> None:
+    def _bucket(self, idxs, encoded, lengths, matched, scores, exact, end_cols) -> None:
         from .core.config import Matching
 
         s = self.scoring
@@ -807,6 +833,8 @@ class LiteralKernel:
             matched[out_idx] = True
             scores[out_idx] = best[has].astype(_U16)
             exact[out_idx] = (best_pos[has] == 0) & (blens[has] == n)
+            # literal end_col = last matched byte (literal/algo.rs:112-114)
+            end_cols[out_idx] = np.minimum(best_pos[has] + n - 1, U16_MAX).astype(_U16)
             return
 
         if self.mode is Matching.SUFFIX:
@@ -833,6 +861,7 @@ class LiteralKernel:
         matched[out_idx] = True
         scores[out_idx] = sc[ok].astype(_U16)
         exact[out_idx] = is_exact[ok]
+        end_cols[out_idx] = np.minimum(pos[ok] + n - 1, U16_MAX).astype(_U16)
 
 
 def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult:
@@ -856,8 +885,12 @@ def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult
     matched = np.zeros(n, dtype=bool)
     scores = np.zeros(n, dtype=_U16)
     exact = np.zeros(n, dtype=bool)
+    end_cols = np.zeros(n, dtype=_U16)
     for i, t in enumerate(texts):
-        m = matcher.match_one(t, i)
+        m = matcher.match_one_indices(t, i)
         if m is not None:
             matched[i], scores[i], exact[i] = True, m.score, m.exact
-    return BatchResult(matched, scores, exact)
+            if m.indices:
+                # literal indices are emitted last-first; end_col = last byte
+                end_cols[i] = min(m.indices[0], U16_MAX)
+    return BatchResult(matched, scores, exact, end_cols)

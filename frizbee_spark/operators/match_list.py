@@ -37,11 +37,15 @@ def match_list(
     text_col: str = "text",
     index_col: str = "doc_id",
     ordered: bool = True,
+    with_end_col: bool = False,
 ) -> DataFrame:
     """Score every row's `text_col` against `needle`, keeping matches.
 
-    Returns (index_col, score, exact). Equivalent to the reference's
-    match_list (src/matcher/mod.rs:212-222) over the column."""
+    Returns (index_col, score, exact[, end_col]). Equivalent to the
+    reference's match_list (src/matcher/mod.rs:212-222) over the column;
+    `with_end_col` adds the `match_end_col` feature surface
+    (src/lib.rs:150-152): the haystack offset of the final matched
+    position."""
     config = config or Config()
 
     out = df.select(index_col, text_col)
@@ -53,14 +57,17 @@ def match_list(
             out = out.where(F.octet_length(F.col(text_col)) >= F.lit(min_len))
 
     udf = fuzzy_match_udf(needle, config)
+    projection = [
+        F.col(index_col),
+        F.col("m.score").alias("score"),
+        F.col("m.exact").alias("exact"),
+    ]
+    if with_end_col:
+        projection.append(F.col("m.end_col").alias("end_col"))
     out = (
         out.withColumn("m", udf(F.col(text_col)))
         .where(F.col("m.matched"))
-        .select(
-            F.col(index_col),
-            F.col("m.score").alias("score"),
-            F.col("m.exact").alias("exact"),
-        )
+        .select(*projection)
     )
     if ordered:
         out = out.orderBy(*_order_columns(config, index_col))

@@ -23,27 +23,38 @@ MATCH_STRUCT = StructType(
         StructField("matched", BooleanType(), False),
         StructField("score", IntegerType(), False),
         StructField("exact", BooleanType(), False),
+        StructField("end_col", IntegerType(), False),
     ]
 )
 
 
 def fuzzy_match_udf(needle: str, config: Config | None = None):
-    """Returns a pandas UDF text -> struct(matched, score, exact) running the
-    full frizbee row pipeline (length filter -> prefilter -> window trim ->
-    SW -> exact bonus) batched across the Arrow batch."""
+    """Returns a pandas UDF text -> struct(matched, score, exact, end_col)
+    running the full frizbee row pipeline (length filter -> prefilter ->
+    window trim -> SW -> exact bonus) batched across the Arrow batch.
+    `end_col` is the haystack offset of the final matched position
+    (src/lib.rs:150-152, `match_end_col` feature surface)."""
     config = config or Config()
 
     @pandas_udf(MATCH_STRUCT)
     def _match(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         from .kernel import match_batch
 
         filled = texts.fillna("")
         res = match_batch(needle, filled.tolist(), config)
+        end_col = (
+            res.end_col
+            if res.end_col is not None
+            else np.zeros(len(filled), dtype="uint16")
+        )
         return pd.DataFrame(
             {
                 "matched": res.matched & texts.notna().to_numpy(),
                 "score": res.score.astype("int32"),
                 "exact": res.exact,
+                "end_col": end_col.astype("int32"),
             }
         )
 

@@ -216,3 +216,36 @@ class TestLiteralKernelParity:
                 ["日本ab語", "ab日本", "日本ab", "日aβb本", "åb"],
                 Config(matching=mode),
             )
+
+
+class TestEndCol:
+    """end_col surface (src/lib.rs:150-152, `match_end_col` feature):
+    expectations transcribed from the reference's own tests
+    (matcher/algo.rs:472-478, matcher/mod.rs:853-863)."""
+
+    def test_end_col_with_prefilter_trim(self):
+        # matcher/algo.rs:473-478: trim must not shift offsets
+        res = match_batch("abc", ["xxabcxx"], Config(max_typos=0))
+        assert bool(res.matched[0]) and int(res.end_col[0]) == 4
+
+    def test_end_col_all_scores(self):
+        # matcher/mod.rs:854-863
+        res = match_batch("abc", ["xabcx", "abcdef", "xxabc"], Config(max_typos=None))
+        assert list(res.matched) == [True, True, True]
+        assert [int(x) for x in res.end_col] == [3, 2, 4]
+
+    def test_end_col_literal_substring(self):
+        from frizbee_spark.core.config import Matching
+
+        res = match_batch("abc", ["xxabcxx", "abc"], Config(matching=Matching.SUBSTRING))
+        # literal/algo.rs:112-114: pos + needle_len - 1
+        assert [int(x) for x in res.end_col] == [4, 2]
+
+    def test_end_col_via_match_list_udf(self, tmp_path):
+        import numpy as np
+
+        from frizbee_spark.udfs import fuzzy_match_udf
+
+        _ = np  # udf-level coverage happens in spark tests; here check struct shape
+        udf = fuzzy_match_udf("abc", Config(max_typos=0))
+        assert "end_col" in [f.name for f in udf.returnType.fields]

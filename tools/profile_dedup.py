@@ -30,20 +30,26 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
+    from frizbee_spark.runtime import apply_allocator_env
+
+    aqe = os.environ.get("PROFILE_AQE", "true")
+    mem = os.environ.get("PROFILE_DRIVER_MEM", "48g")
+    jopts = os.environ.get("PROFILE_JAVA_OPTS", "")
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"profile-dedup-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
         .config("spark.default.parallelism", str(max(8, cpus)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evlog)
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", jopts)
         .config("spark.local.dir", "/dev/shm/frizbee-spark-local")
-        .getOrCreate()
     )
+    spark = apply_allocator_env(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from frizbee_spark.operators.dedup import candidate_pairs, lsh_bands, minhash_signatures
