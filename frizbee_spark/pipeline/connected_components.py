@@ -77,6 +77,27 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True when the edge set is a converged star forest: every node maps
+    to exactly ONE parent and no parent is itself a child (no chains).
+    Large-star and small-star are both no-ops on such a set, so detecting
+    it directly saves the confirm round a checksum-equality stopping rule
+    needs (one full round + materialization on every invocation)."""
+    row = edges.alias("e").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("a").alias("na"),
+    ).collect()[0]
+    if int(row["n"]) != int(row["na"]):
+        return False
+    chained = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
+        .limit(1)
+        .count()
+    )
+    return chained == 0
+
+
 def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Exact union-find on the driver for SMALL edge sets. Identical output
     to star contraction, no iteration shuffles — but it serializes the
@@ -160,6 +181,11 @@ def connected_components(
             cur = spark.read.parquet(path)
         else:
             cur = cur.localCheckpoint()
+        # primary stop: converged star forest (stars are no-ops on it) —
+        # detected one full round earlier than checksum equality. The
+        # checksum remains as the paper's safety net.
+        if _is_star_forest(cur):
+            break
         sig = _checksum(cur)
         if sig == prev_sig:
             break

@@ -633,7 +633,10 @@ def dedup_pages_single_dag(
         min_band_collisions=c.min_band_collisions,
         persist_registry=registry,
     )
-    pairs = cut(pairs, "pairs")
+    # no stage cut for `pairs`: it has exactly one consumer (the est join)
+    # and its plan is already shallow (the salted member table inside
+    # candidate_pairs is the materialization point), so a parquet
+    # round-trip would only add barrier latency
     verified = cut(
         verify_pairs(pairs, docs, c, signatures=sigs, persist_registry=registry),
         "verify",
@@ -654,6 +657,6 @@ def dedup_pages_single_dag(
         "clusters",
     )
     if own_workdir and cleanup:
-        for name in ("docs", "sigs", "pairs", "verify"):
+        for name in ("docs", "sigs", "verify"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
     return clusters

@@ -6,20 +6,16 @@ import os
 
 #: Allocator environment for Python UDF workers (and the driver): pyarrow's
 #: default jemalloc pool aggressively purges freed pages back to the OS, so
-#: every Arrow batch refaults tens of MB of fresh pages; glibc's dynamic
-#: mmap threshold likewise munmaps each large numpy buffer. On a steady
-#: streaming workload the worker should keep its working set hot: use the
-#: system allocator with a high trim/mmap threshold so batch-sized buffers
-#: are reused instead of returned. Measured on this sandbox VM (whose
-#: first-touch faults are intermittently ~100x slow): a 1.2GB alloc+touch
-#: churn per worker dropped 4.3s -> 0.6s at 16 concurrent workers. On a
-#: healthy cluster node this is neutral-to-positive for the same reason
-#: (fewer page faults + TLB misses in the hot loop).
+#: every Arrow batch refaults tens of MB of fresh pages (pathologically
+#: slow on this sandbox VM's host). The system (glibc) pool instead adapts
+#: its mmap threshold after the first large free and then recycles
+#: batch-sized buffers from the heap. Deliberately NOT forcing
+#: MALLOC_TRIM/TOP_PAD retention: pinning ~1GB of heap per worker times N
+#: workers pressured the (overcommitted) host and measurably slowed the
+#: JVM-heavy stages at 16 workers; glibc's dynamic thresholds give the
+#: reuse without the hoarding.
 ALLOCATOR_ENV = {
     "ARROW_DEFAULT_MEMORY_POOL": "system",
-    "MALLOC_TRIM_THRESHOLD_": "1073741824",
-    "MALLOC_MMAP_THRESHOLD_": "268435456",
-    "MALLOC_TOP_PAD_": "134217728",
 }
 
 

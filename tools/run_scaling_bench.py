@@ -147,11 +147,38 @@ def main() -> None:
     ensure_corpus()
     low_cpus = int(os.environ.get("SCALING_LOW", "4"))
     high_cpus = int(os.environ.get("SCALING_HIGH", "16"))
-    # this sandbox VM shows bursty hypervisor interference (identical runs
-    # vary 2-3x); best-of-N is the standard noise-robust estimator
+    # This sandbox VM shows bursty hypervisor interference: identical runs
+    # vary 2-3x, and slow phases last MINUTES — long enough that taking
+    # independent best-of-N per level samples the two levels under
+    # different host weather and produces nonsense ratios in either
+    # direction. Instead run INTERLEAVED (low, high) pairs back-to-back so
+    # both levels share conditions, then report the fastest pair by
+    # combined wall clock (the least-interfered sample — the standard
+    # best-of-N estimator applied to the pair, which is the unit the
+    # efficiency ratio is computed from). Every rep is recorded in
+    # BENCH/scaling.json for transparency.
     reps = int(os.environ.get("SCALING_REPS", "3"))
-    low = min((run_subprocess(low_cpus) for _ in range(reps)), key=lambda r: r["wall_sec"])
-    high = min((run_subprocess(high_cpus) for _ in range(reps)), key=lambda r: r["wall_sec"])
+    pairs: list[tuple[dict, dict]] = []
+    for _ in range(reps):
+        lo = run_subprocess(low_cpus)
+        hi = run_subprocess(high_cpus)
+        pairs.append((lo, hi))
+        print(
+            json.dumps(
+                {
+                    "pair": len(pairs),
+                    "low_wall": lo["wall_sec"],
+                    "high_wall": hi["wall_sec"],
+                    "pair_eff": round(
+                        (hi["docs_per_sec"] / lo["docs_per_sec"])
+                        / (high_cpus / low_cpus),
+                        3,
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+    low, high = min(pairs, key=lambda p: p[0]["wall_sec"] + p[1]["wall_sec"])
     ratio = high_cpus / low_cpus
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
 
@@ -173,8 +200,11 @@ def main() -> None:
         "host does not have 32 free physical cores, so local[32] benchmarks",
         "host contention rather than the job. At <= 16 busy vCPUs steal is in",
         "the low single digits at both levels, making 4 -> 16 the faithful",
-        "two-cluster-size stand-in. Wall times are best-of-N (bursty",
-        "hypervisor interference makes identical runs vary 2-3x).",
+        "two-cluster-size stand-in. The host's interference comes in",
+        "multi-minute bursts (identical runs vary 2-3x), so the two levels",
+        "are measured as INTERLEAVED back-to-back pairs sharing host",
+        "conditions; reported numbers are the fastest pair by combined wall",
+        "clock, with every pair recorded in BENCH/scaling.json.",
         "",
         "## Workload",
         "",
@@ -214,6 +244,16 @@ def main() -> None:
         "n_base": N_BASE,
         "reps": reps,
         "consistent": consistent,
+        "all_pairs": [
+            {
+                "low_wall": lo["wall_sec"],
+                "high_wall": hi["wall_sec"],
+                "pair_eff": round(
+                    (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3
+                ),
+            }
+            for lo, hi in pairs
+        ],
     }
     # machine-checkable artifact next to the markdown: a stale BASELINE.md
     # can never mask a missing run
