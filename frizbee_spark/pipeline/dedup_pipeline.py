@@ -346,6 +346,7 @@ def verify_pairs(
     config: DedupConfig,
     signatures: DataFrame | None = None,
     persist_registry: list | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Candidate-pair verification, cheapest-signal-first (the reference's
     own staging philosophy, matcher/algo.rs: length filter -> prefilter ->
@@ -363,9 +364,12 @@ def verify_pairs(
     3. the frizbee SW kernel on bounded windows only for exact-jaccard
        borderline pairs (typo-level rewrites that shift many shingles).
 
-    The est intermediate is materialized ONCE via eager columnar persist
-    (24B/pair — tiny); it is appended to `persist_registry` so callers can
-    unpersist after the final union materializes. Both python stages are
+    The est intermediate is materialized ONCE (24B/pair — tiny): a parquet
+    cut under `scratch_dir` when given (shallow downstream plans, nothing
+    retained), else an eager columnar persist appended to
+    `persist_registry` so callers can unpersist after the final union
+    materializes (auto scratch dir, removed at exit, when neither is
+    given). Both python stages are
     zero-copy mapInArrow passes over REUSED scratch buffers — no JVM
     higher-order functions (zip_with / aggregate / array_intersect lambdas
     are interpreted per element and measured 10-100x slower than the
@@ -424,10 +428,19 @@ def verify_pairs(
         .hint("shuffle_hash").join(sig_b, "b")
         .select("a", "b", "sig_a", "sig_b")
         .mapInArrow(_est_batches, "a long, b long, est double")
-        .persist()
     )
-    est.count()
-    registry.append(est)
+    if scratch_dir is None and persist_registry is None:
+        from ..runtime import fast_scratch_dir
+
+        scratch_dir = fast_scratch_dir("frizbee_verify_scratch_")
+    if scratch_dir is not None:
+        from ..runtime import scratch_cut
+
+        est = scratch_cut(est, "est", scratch_dir)
+    else:
+        est = est.persist()
+        est.count()
+        registry.append(est)
 
     accepted_est = est.where(F.col("est") >= est_hi).select(
         "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
@@ -565,11 +578,13 @@ def verify_pairs(
 def _fast_scratch_dir(prefix: str) -> str:
     """Scratch dir for stage materialization: tmpfs when available (the
     stand-in for a cluster executor's local SSD — this VM's /tmp sits on
-    slow virtio disk), else the system tempdir."""
-    import tempfile
+    slow virtio disk), else the system tempdir. Registered for atexit
+    removal (tmpfs files outlive the process, so an unremoved dir is a
+    host-RAM leak — ADVICE r3); callers should still delete earlier when
+    they can."""
+    from ..runtime import fast_scratch_dir
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return fast_scratch_dir(prefix)
 
 
 def dedup_pages_single_dag(
@@ -595,9 +610,15 @@ def dedup_pages_single_dag(
     at 100 TB — where stage boundaries land on the distributed FS anyway.
 
     Returns the cluster table (url, doc_id, cluster_id); `workdir` holds
-    the stage parquets (auto-created on tmpfs when None; removed on
-    success when `cleanup`)."""
+    the stage parquets (auto-created on tmpfs when None). With `cleanup`
+    every intermediate except the final clusters parquet is removed before
+    returning, and an auto-created workdir is registered for atexit
+    removal — the returned DataFrame reads the clusters parquet, so the
+    dir itself can only go once the caller is done; use
+    `dedup_pages_scoped` to bound its lifetime explicitly."""
     import shutil
+
+    from ..runtime import scratch_cut
 
     c = config or DedupConfig()
     own_workdir = workdir is None
@@ -605,11 +626,8 @@ def dedup_pages_single_dag(
         workdir = _fast_scratch_dir("frizbee_dedup_dag_")
 
     def cut(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(workdir, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return scratch_cut(df, name, workdir)
 
-    registry: list = []
     docs = cut(
         extract_latest_per_url(pages).select(
             "url", F.xxhash64("url").alias("doc_id"), "text", "lang"
@@ -631,22 +649,27 @@ def dedup_pages_single_dag(
         id_col="doc_id",
         bucket_cap=c.bucket_cap,
         min_band_collisions=c.min_band_collisions,
-        persist_registry=registry,
+        scratch_dir=workdir,
     )
     # no stage cut for `pairs`: it has exactly one consumer (the est join)
     # and its plan is already shallow (the salted member table inside
     # candidate_pairs is the materialization point), so a parquet
     # round-trip would only add barrier latency
     verified = cut(
-        verify_pairs(pairs, docs, c, signatures=sigs, persist_registry=registry),
+        verify_pairs(pairs, docs, c, signatures=sigs, scratch_dir=workdir),
         "verify",
     )
-    for cached in registry:
-        cached.unpersist()
     # driver_threshold=0: the measured throughput path must never serialize
-    # clustering through a driver loop — distributed star contraction only
+    # clustering through a driver loop — distributed star contraction only.
+    # input_materialized: `verified` is a parquet cut, so CC skips its
+    # defensive input checkpoint (one fewer barrier).
+    cc_registry: list = []
     components = connected_components(
-        spark, verified.select("a", "b"), driver_threshold=0
+        spark,
+        verified.select("a", "b"),
+        driver_threshold=0,
+        input_materialized=True,
+        persist_registry=cc_registry,
     )
     clusters = cut(
         docs.join(
@@ -656,7 +679,37 @@ def dedup_pages_single_dag(
         ),
         "clusters",
     )
-    if own_workdir and cleanup:
-        for name in ("docs", "sigs", "verify"):
+    for cached in cc_registry:
+        cached.unpersist()
+    if cleanup:
+        for name in ("docs", "sigs", "salted", "est", "verify"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
     return clusters
+
+
+def dedup_pages_scoped(spark: SparkSession, pages: DataFrame, config=None):
+    """Context manager around `dedup_pages_single_dag` that bounds the
+    scratch workdir's lifetime: yields the cluster DataFrame and removes
+    the WHOLE workdir (clusters parquet included) on exit — tmpfs scratch
+    survives process death, so callers that loop (the scaling bench runs
+    16 subprocess measurements) must reclaim it deterministically, not at
+    interpreter exit.
+
+        with dedup_pages_scoped(spark, pages) as clusters:
+            n = clusters.select("cluster_id").distinct().count()
+    """
+    import contextlib
+
+    from ..runtime import fast_scratch_dir, release_scratch_dir
+
+    @contextlib.contextmanager
+    def _scope():
+        workdir = fast_scratch_dir("frizbee_dedup_dag_")
+        try:
+            yield dedup_pages_single_dag(
+                spark, pages, config, workdir=workdir, cleanup=True
+            )
+        finally:
+            release_scratch_dir(workdir)
+
+    return _scope()

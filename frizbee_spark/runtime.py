@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 #: Allocator environment for Python UDF workers (and the driver): pyarrow's
 #: default jemalloc pool aggressively purges freed pages back to the OS, so
@@ -26,3 +29,49 @@ def apply_allocator_env(builder):
         os.environ.setdefault(key, val)
         builder = builder.config(f"spark.executorEnv.{key}", os.environ[key])
     return builder
+
+
+#: scratch dirs created by this process that still need removal at exit —
+#: tmpfs files (unlike memory) survive process death, so every auto-created
+#: scratch dir is registered here and removed by the atexit hook below.
+#: Callers that can delete earlier (after consuming the data) should.
+_SCRATCH_DIRS: set[str] = set()
+
+
+def fast_scratch_dir(prefix: str) -> str:
+    """Create a scratch dir for intermediate stage materialization: tmpfs
+    when available (the stand-in for a cluster executor's local SSD — this
+    VM's /tmp sits on slow virtio disk), else the system tempdir. The dir
+    is registered for atexit removal; call `release_scratch_dir` to delete
+    it as soon as its contents are consumed."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    _SCRATCH_DIRS.add(path)
+    return path
+
+
+def release_scratch_dir(path: str) -> None:
+    """Remove a scratch dir created by `fast_scratch_dir` right now."""
+    _SCRATCH_DIRS.discard(path)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:  # pragma: no cover - exit hook
+    for path in list(_SCRATCH_DIRS):
+        shutil.rmtree(path, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+def scratch_cut(df, name: str, scratch_dir: str):
+    """Materialize `df` to parquet under `scratch_dir` and return a shallow
+    scan of it. A parquet stage-cut (unlike persist) truncates the LOGICAL
+    plan, so every downstream action plans against a flat scan — persist
+    caches data but Catalyst/AQE still re-plan the full accumulated plan
+    per action, which is measured driver-serial time (10-16s/action on
+    deep dedup plans). It also leaves no retained cache behind: the
+    round-2/round-3 persist leaks (salted member table, est band) taxed
+    every later query in a long-lived session."""
+    path = os.path.join(scratch_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

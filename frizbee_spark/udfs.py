@@ -28,12 +28,17 @@ MATCH_STRUCT = StructType(
 )
 
 
-def fuzzy_match_udf(needle: str, config: Config | None = None):
+def fuzzy_match_udf(
+    needle: str, config: Config | None = None, with_end_col: bool = False
+):
     """Returns a pandas UDF text -> struct(matched, score, exact, end_col)
     running the full frizbee row pipeline (length filter -> prefilter ->
     window trim -> SW -> exact bonus) batched across the Arrow batch.
     `end_col` is the haystack offset of the final matched position
-    (src/lib.rs:150-152, `match_end_col` feature surface)."""
+    (src/lib.rs:150-152, `match_end_col` feature surface); pass
+    `with_end_col=True` when the caller projects it — oversized haystacks
+    then pay the reference's feature-gated second greedy pass, and report
+    0 otherwise."""
     config = config or Config()
 
     @pandas_udf(MATCH_STRUCT)
@@ -43,7 +48,7 @@ def fuzzy_match_udf(needle: str, config: Config | None = None):
         from .kernel import match_batch
 
         filled = texts.fillna("")
-        res = match_batch(needle, filled.tolist(), config)
+        res = match_batch(needle, filled.tolist(), config, with_end_col)
         end_col = (
             res.end_col
             if res.end_col is not None
