@@ -113,10 +113,16 @@ def run_benchmarks(spark, sf_dir: str) -> dict:
         n = df.count()
         timings[name] = round(time.perf_counter() - start, 4)
         _ = n
-        # release any cache a query persisted internally (outside the timed
-        # window): a retained cache's executor-memory/GC pressure otherwise
-        # taxes every subsequent query (observed 2-4x in round 2)
-        spark.catalog.clearCache()
+        # NO clearCache between queries (round-3 bench needed it to mask
+        # the candidate_pairs persist leak): operators must leave no
+        # retained cache behind on their own — asserted here so a
+        # regression shows up as a bench failure, not a mystery slowdown
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        if n_cached:
+            raise RuntimeError(
+                f"query {name!r} leaked {n_cached} persisted RDD(s) — "
+                "operators must unpersist or use scratch cuts"
+            )
 
     start = time.perf_counter()
     n_docs = dedup_end_to_end(spark, sf_dir)

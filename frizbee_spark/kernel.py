@@ -803,16 +803,41 @@ class LiteralKernel:
 
     def __init__(self, needle: str, config: Config):
         from .core.literal import LiteralMatcher
+        from .core.oracle import case_needle_unicode
 
         needle_bytes = needle.encode("utf-8")
         LiteralMatcher._guard(len(needle_bytes), config.scoring)
         self.mode = config.matching
         self.scoring = config.scoring
         case_sensitive = config.casing.respects_case_for(needle)
-        pairs = case_needle(needle_bytes, case_sensitive)
-        self.orig = np.array([p[0] for p in pairs], dtype=np.uint8)
-        self.flip = np.array([p[1] for p in pairs], dtype=np.uint8)
-        self.n = len(pairs)
+        self.unicode = config.unicode.respects_unicode_for(needle)
+        if self.unicode:
+            # per-CODEPOINT pieces (literal/algo.rs:157-178 unicode arm +
+            # the fold guards of prefilter/mod.rs:71-96): a haystack piece
+            # must equal the char's utf-8 run or its flipped run WHOLLY —
+            # per-byte orig/flip mixing must reject (the reference's
+            # Cherokee hybrid-bytes fixture). flipped_chars is guaranteed
+            # byte-length-equal to chars (length-changing folds ignored),
+            # so orig/flip buffers align byte-for-byte.
+            uchars = case_needle_unicode(needle, case_sensitive)
+            self.orig = np.frombuffer(
+                b"".join(c.chars for c in uchars), dtype=np.uint8
+            )
+            self.flip = np.frombuffer(
+                b"".join(c.flipped_chars for c in uchars), dtype=np.uint8
+            )
+            lens = np.array([c.length for c in uchars], dtype=np.int64)
+            self.char_starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=self.char_starts[1:])
+            self.n = int(lens.sum())
+            self.n_chars = len(uchars)
+        else:
+            pairs = case_needle(needle_bytes, case_sensitive)
+            self.orig = np.array([p[0] for p in pairs], dtype=np.uint8)
+            self.flip = np.array([p[1] for p in pairs], dtype=np.uint8)
+            self.n = len(pairs)
+            self.n_chars = self.n
+            self.char_starts = np.arange(self.n, dtype=np.int64)
 
     def match_batch(self, texts) -> BatchResult:
         encoded = [t.encode("utf-8") for t in texts]
@@ -867,16 +892,39 @@ class LiteralKernel:
             n_pos = width - n + 1
             ok = np.ones((n_hay, n_pos), dtype=bool)
             casecnt = np.zeros((n_hay, n_pos), dtype=np.int32)
-            for k in range(n):
-                seg = hay[:, k : k + n_pos]
-                eq = seg == self.orig[k]
-                ok &= eq | (seg == self.flip[k])
-                casecnt += eq
+            if self.unicode:
+                # per-codepoint piece equality + per-CHAR-START bonuses
+                # (literal/algo.rs:204-227: match_score and positional
+                # bonuses accrue once per character, not per byte)
+                bonus_sum = np.zeros((n_hay, n_pos), dtype=np.int32)
+                for ci in range(self.n_chars):
+                    st = int(self.char_starts[ci])
+                    ln = (
+                        int(self.char_starts[ci + 1]) - st
+                        if ci + 1 < self.n_chars
+                        else n - st
+                    )
+                    eq_o = np.ones((n_hay, n_pos), dtype=bool)
+                    eq_f = np.ones((n_hay, n_pos), dtype=bool)
+                    for j in range(st, st + ln):
+                        seg = hay[:, j : j + n_pos]
+                        eq_o &= seg == self.orig[j]
+                        eq_f &= seg == self.flip[j]
+                    ok &= eq_o | eq_f
+                    casecnt += eq_o
+                    bonus_sum += bonus[:, st : st + n_pos]
+            else:
+                for k in range(n):
+                    seg = hay[:, k : k + n_pos]
+                    eq = seg == self.orig[k]
+                    ok &= eq | (seg == self.flip[k])
+                    casecnt += eq
+                bonus_sum = cum[:, n : n + n_pos] - cum[:, :n_pos]
             ok &= np.arange(n_pos, dtype=np.int64)[None, :] <= (blens - n)[:, None]
             sc = (
-                n * s.match_score
+                self.n_chars * s.match_score
                 + s.matching_case_bonus * casecnt
-                + (cum[:, n : n + n_pos] - cum[:, :n_pos])
+                + bonus_sum
             )
             sc[:, 0] += np.where(blens == n, s.exact_match_bonus, 0)
             np.minimum(sc, U16_MAX, out=sc)
@@ -900,16 +948,23 @@ class LiteralKernel:
             pos = np.zeros(n_hay, dtype=np.int64)
         gather = pos[:, None] + np.arange(n, dtype=np.int64)[None, :]
         seg = hay[np.arange(n_hay)[:, None], gather]
-        eq = seg == self.orig[None, :]
-        ok = (eq | (seg == self.flip[None, :])).all(axis=1)
+        # per-codepoint piece equality: reduceat over each char's byte run
+        # (identity for ASCII, where char_starts is arange(n))
+        eq_o = np.logical_and.reduceat(seg == self.orig[None, :], self.char_starts, axis=1)
+        eq_f = np.logical_and.reduceat(seg == self.flip[None, :], self.char_starts, axis=1)
+        ok = (eq_o | eq_f).all(axis=1)
         if self.mode is Matching.EXACT:
             ok &= blens == n
-        casecnt = eq.sum(axis=1, dtype=np.int32)
+        casecnt = eq_o.sum(axis=1, dtype=np.int32)
         rows = np.arange(n_hay)
+        # positional bonuses at CHAR starts only (per-byte for ASCII)
+        bonus_sum = bonus[rows[:, None], pos[:, None] + self.char_starts[None, :]].sum(
+            axis=1, dtype=np.int32
+        )
         sc = (
-            n * s.match_score
+            self.n_chars * s.match_score
             + s.matching_case_bonus * casecnt
-            + (cum[rows, pos + n] - cum[rows, pos])
+            + bonus_sum
         )
         is_exact = (pos == 0) & (blens == n)
         sc = sc + np.where(is_exact, s.exact_match_bonus, 0)
@@ -928,8 +983,10 @@ def match_batch(
 
     Fuzzy matching is fully vectorized: ASCII needles on the uint8 byte
     kernel, unicode needles on the uint32 codepoint kernel. Literal
-    matching modes run on the vectorized LiteralKernel for ASCII needles;
-    unicode literal needles (rare) fall back to the scalar matcher.
+    matching modes (exact/prefix/suffix/substring) run on the vectorized
+    LiteralKernel for both ASCII and unicode needles (per-codepoint piece
+    comparison in the unicode case); only the empty-needle literal falls
+    through to the scalar matcher.
 
     `with_end_col` enables the oversized-haystack (> MAX_HAYSTACK_LEN)
     end_col computation, which costs a second full-haystack greedy pass —
@@ -941,7 +998,7 @@ def match_batch(
             return UnicodeKernel(needle, config).match_batch(texts, with_end_col)
         return AsciiKernel(needle, config).match_batch(texts, with_end_col)
 
-    if needle and not config.unicode.respects_unicode_for(needle):
+    if needle:
         return LiteralKernel(needle, config).match_batch(texts)
 
     matcher = Matcher([Pattern.new(needle)] if needle else [], config)

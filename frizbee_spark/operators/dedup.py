@@ -169,27 +169,28 @@ def lsh_bands(
     cannot be inferred from a `head()` without launching a driver action
     that partially executes the upstream Python minhash stage before the
     real job (omitting it is a TypeError at call time, not a mid-plan
-    surprise)."""
+    surprise).
+
+    The band array is built as ONE SQL string parsed JVM-side, not nested
+    Column objects: constructing the ~200-node expression through py4j
+    costs a round trip per node and measured 17-20 SECONDS of driver
+    time on this host — pure serial cost that Amdahl's law charges
+    straight against scaling efficiency. `F.expr` of the equivalent
+    string is one call (~ms once the parser is warm) and plans to the
+    identical expression (parity-checked row-for-row)."""
     rows = max(1, num_perm // num_bands)
-    hashes = F.array(
-        *[
-            F.xxhash64(
-                *(
-                    [
-                        F.element_at(F.col("signature"), b * rows + i + 1)
-                        for i in range(rows)
-                    ]
-                    # long cast: keeps the hash chain on XXH64's 8-byte word
-                    # path, which functions/hashing.py::spark_xxhash64_longs
-                    # mirrors exactly for the serial golden oracles
-                    + [F.lit(b).cast("long")]
-                )
-            )
-            for b in range(num_bands)
-        ]
+    # long cast keeps the hash chain on XXH64's 8-byte word path, which
+    # functions/hashing.py::spark_xxhash64_longs mirrors exactly for the
+    # serial golden oracles; element_at is 1-based
+    parts = ",".join(
+        "xxhash64("
+        + ",".join(f"element_at(`signature`, {b * rows + i + 1})" for i in range(rows))
+        + f", cast({b} as bigint))"
+        for b in range(num_bands)
     )
     return signatures.select(
-        F.col(id_col), F.posexplode(hashes).alias("band_id", "band_hash")
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({parts})")).alias("band_id", "band_hash"),
     )
 
 

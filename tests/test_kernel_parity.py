@@ -249,3 +249,87 @@ class TestEndCol:
         _ = np  # udf-level coverage happens in spark tests; here check struct shape
         udf = fuzzy_match_udf("abc", Config(max_typos=0))
         assert "end_col" in [f.name for f in udf.returnType.fields]
+
+
+class TestLiteralKernelUnicode:
+    """Unicode needles on the vectorized LiteralKernel: per-codepoint piece
+    comparison with the fold guards of prefilter/mod.rs:71-96.
+    Expectations transcribed from the reference's own literal unicode tests
+    (src/literal/mod.rs:296-350)."""
+
+    def _score(self, needle, haystack, mode_name="SUBSTRING", casing=None):
+        from frizbee_spark.core.config import CaseMatching, Matching
+
+        cfg = Config(
+            matching=getattr(Matching, mode_name),
+            casing=casing or CaseMatching.SMART,
+        )
+        res = match_batch(needle, [haystack], cfg)
+        return int(res.score[0]) if res.matched[0] else None
+
+    def test_unicode_chars_score_as_characters(self):
+        from frizbee_spark.core.config import Scoring
+
+        s = Scoring()
+        # literal/mod.rs:301-305: "éx" == "éx" scores two CHARS, not 3 bytes
+        assert self._score("éx", "éx") == (
+            2 * s.match_score + 2 * s.matching_case_bonus
+            + s.prefix_bonus + s.exact_match_bonus
+        )
+        # literal/mod.rs:307-308: interior occurrence scores only the char
+        assert self._score("é", "xé") == s.match_score + s.matching_case_bonus
+
+    def test_unicode_case_insensitive_fold(self):
+        from frizbee_spark.core.config import CaseMatching
+
+        # literal/mod.rs:311-325: é/É, Cyrillic и/И, Greek α/Α
+        for needle, upper in [("é", "É"), ("и", "И"), ("α", "Α")]:
+            assert self._score(needle, upper, casing=CaseMatching.IGNORE) is not None
+            assert self._score(needle, upper, casing=CaseMatching.RESPECT) is None
+
+    def test_unicode_rejects_hybrid_case_bytes(self):
+        from frizbee_spark.core.config import CaseMatching
+
+        # literal/mod.rs:327-343: 'Ꭰ' E1 8E A0 / 'ꭰ' EA AD B0 — the hybrid
+        # byte sequence E1 AD B0 (U+1B70) must NOT match per-codepoint
+        assert self._score("Ꭰ", "᭰", casing=CaseMatching.IGNORE) is None
+        assert self._score("Ꭰ", "ꭰ", casing=CaseMatching.IGNORE) is not None
+
+    def test_unicode_length_changing_fold_is_case_sensitive(self):
+        from frizbee_spark.core.config import CaseMatching
+
+        # literal/mod.rs:345-350: ß folds to SS (length change) -> matches
+        # only itself
+        assert self._score("ß", "ß", casing=CaseMatching.IGNORE) is not None
+        assert self._score("ß", "SS", casing=CaseMatching.IGNORE) is None
+        assert self._score("ß", "ss", casing=CaseMatching.IGNORE) is None
+
+    def test_unicode_end_col_spans_whole_utf8_run(self):
+        from frizbee_spark.core.config import Matching
+
+        # literal/mod.rs:352-360: "é다" in "xxé다yy" ends at byte 6
+        res = match_batch("é다", ["xxé다yy"], Config(matching=Matching.SUBSTRING))
+        assert bool(res.matched[0]) and int(res.end_col[0]) == 6
+
+    @pytest.mark.parametrize("mode_name", ["EXACT", "PREFIX", "SUFFIX", "SUBSTRING"])
+    @pytest.mark.parametrize(
+        "casing", [CaseMatching.IGNORE, CaseMatching.RESPECT, CaseMatching.SMART]
+    )
+    def test_unicode_literal_fuzz_vs_scalar(self, mode_name, casing):
+        from frizbee_spark.core.config import Matching
+
+        rng = random.Random(777)
+        mode = getattr(Matching, mode_name)
+        uni_chars = "éÉüÜßи И αΑ 다本₺𝄞abcXYZ ./_0"
+        for needle in ["é", "Éx", "и да", "ß0", "α/β", "x다"]:
+            haystacks = []
+            for _ in range(40):
+                n = rng.randint(0, 12)
+                haystacks.append("".join(rng.choice(uni_chars) for _ in range(n)))
+            haystacks += [
+                needle, needle.lower(), needle.upper(),
+                "xx" + needle, needle + "yy", "é" + needle + "다",
+                needle + " " + needle, "", "x",
+            ]
+            cfg = Config(matching=mode, casing=casing)
+            _assert_parity(needle, haystacks, cfg)
