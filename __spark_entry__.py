@@ -248,6 +248,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_fingerprints"] = simhash_fingerprints
 
+    def simhash_band_pairs(spark, sf):
+        # SimHash fallback banding (SURVEY §2.10): pairs of docs sharing
+        # any 16-bit piece of their 64-bit SimHash (Hamming-close pairs).
+        # Oracle: pure SQL over the simhash golden parquet.
+        from frizbee_spark.operators.dedup import simhash_candidate_pairs
+
+        sims = simhash_values(_docs(spark, sf), shingle_k=5)
+        return simhash_candidate_pairs(sims, num_pieces=4)
+
+    q["simhash_band_pairs"] = simhash_band_pairs
+
+    def extract_latest_text(spark, sf):
+        # north_rule input invariant: extracted text per url is
+        # byte-identical, latest capture wins per url. Documents are
+        # dressed as web pages; every doc additionally gets an OLDER
+        # recapture with corrupted text that extraction must discard.
+        from frizbee_spark.pipeline.dedup_pipeline import extract_latest_per_url
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        pages = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("warc_ts"),
+            "text",
+        )
+        stale = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.concat(F.lit("STALE "), F.col("text")).alias("text"),
+        )
+        return extract_latest_per_url(pages.unionByName(stale)).select("url", "text")
+
+    q["extract_latest_text"] = extract_latest_text
+
     # --- similarity search ---
     def ann_brute_force(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -458,4 +491,24 @@ def oracle_sql() -> dict[str, str]:
         path = os.path.join(golden_dir, f"{name}.parquet")
         if os.path.exists(path):
             sql[name] = f"SELECT * FROM read_parquet('{path}')"
+    # simhash BANDING is pure SQL over the simhash golden: arithmetic >>
+    # then & 65535 equals Spark's shiftrightunsigned+mask for every
+    # 16-bit piece (sign-extension only touches bits the mask drops)
+    sim_golden = os.path.join(golden_dir, "simhash_fingerprints.parquet")
+    if os.path.exists(sim_golden):
+        sql["simhash_band_pairs"] = f"""
+            WITH s AS (SELECT * FROM read_parquet('{sim_golden}')),
+            pieces AS (
+                SELECT doc_id, p.piece_id,
+                       (simhash >> (p.piece_id * 16)) & 65535 AS piece
+                FROM s, (SELECT UNNEST(range(4)) AS piece_id) p
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM pieces x
+            JOIN pieces y ON x.piece_id = y.piece_id AND x.piece = y.piece
+            WHERE x.doc_id < y.doc_id
+        """
+    sql["extract_latest_text"] = """
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+    """
     return sql

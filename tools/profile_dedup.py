@@ -104,28 +104,27 @@ def main() -> None:
     )
     mark("signatures")
 
-    registry: list = []
     bands = lsh_bands(sigs, id_col="doc_id", num_bands=c.num_bands, num_perm=c.num_perm)
     pairs, _sampled = candidate_pairs(
         bands, id_col="doc_id",
         bucket_cap=c.bucket_cap, min_band_collisions=c.min_band_collisions,
-        persist_registry=registry,
+        scratch_dir=workdir,
     )
     pairs = cut(pairs, "pairs")
     n_pairs = pairs.count()
     mark("pairs")
 
     verified = cut(
-        verify_pairs(pairs, docs, c, signatures=sigs, persist_registry=registry),
+        verify_pairs(pairs, docs, c, signatures=sigs, scratch_dir=workdir),
         "verify",
     )
-    for cached in registry:
-        cached.unpersist()
     n_edges = verified.count()
     mark("verify")
 
+    cc_registry: list = []
     components = connected_components(
-        spark, verified.select("a", "b"), driver_threshold=0
+        spark, verified.select("a", "b"), driver_threshold=0,
+        input_materialized=True, persist_registry=cc_registry,
     )
     clusters = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
