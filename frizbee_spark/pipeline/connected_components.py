@@ -209,17 +209,25 @@ def connected_components(
             path = os.path.join(checkpoint_dir, f"cc_iter_{i}")
             cur.write.mode("overwrite").parquet(path)
             cur = spark.read.parquet(path)
+            forest, sig = _round_stats(cur)
         else:
             # lazy persist: the _round_stats action below both computes the
             # convergence signals AND fills this round's cache (block-level
             # locks make the two union scan legs share the computation), so
-            # the round costs ONE job instead of checkpoint + three checks
+            # the round costs ONE job instead of checkpoint + three checks.
+            # Round 0 skips the check entirely — no realistic dup graph is
+            # a star forest after one round (a trivial/empty one just pays
+            # one cheap no-op round), so its materialization rides inside
+            # round 1's action and one more short driver job disappears.
             cur = cur.persist()
+            if i == 0 and max_iterations > 1:
+                prev_cached = cur
+                continue
+            forest, sig = _round_stats(cur)
         # primary stop: converged star forest (stars are no-ops on it) —
         # detected one full round earlier than checksum equality. The
         # checksum remains as the paper's safety net; both signals come
         # from ONE action per round (_round_stats).
-        forest, sig = _round_stats(cur)
         if prev_cached is not None:
             prev_cached.unpersist()
             prev_cached = None
