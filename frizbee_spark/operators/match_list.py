@@ -149,32 +149,27 @@ def match_query(
                     F.octet_length(F.col(text_col)) >= F.lit(min_len)
                 )
 
-    # survivor refinement (multi.rs:84-152): filter right after each
-    # pattern's projection so pattern i+1's UDF only ever scores the rows
-    # that survived patterns 0..i — the plan is ArrowEval -> Filter ->
-    # ArrowEval -> ..., never N full-column UDF passes. The UDFs are marked
-    # nondeterministic (they are pure, but the marker is the public API for
-    # an optimizer barrier): otherwise CollapseProject + ExtractPythonUDFs
-    # batch every pattern into ONE eval below the combined filter and
-    # re-evaluate the first pattern a second time for the score projection.
-    score_expr = F.lit(0)
-    exact_expr = F.lit(False)
-    for i, pattern in enumerate(patterns):
-        resolved = pattern.config.resolve(config)
-        udf = fuzzy_match_udf(pattern.needle, resolved).asNondeterministic()
-        col = f"_m{i}"
-        out = out.withColumn(col, udf(F.col(text_col)))
-        if pattern.negated:
-            out = out.where(~F.col(f"{col}.matched"))
-        else:
-            out = out.where(F.col(f"{col}.matched"))
-            score_expr = score_expr + F.col(f"{col}.score")
-            exact_expr = exact_expr | F.col(f"{col}.exact")
+    # ONE Arrow pass for all atoms (multi.rs:84-152): survivor refinement
+    # happens via numpy masks INSIDE the UDF (pattern i+1 only scores rows
+    # that survived patterns 0..i), so the text column crosses the
+    # JVM<->Python boundary once, not once per atom. The round-3 layout
+    # chained N ArrowEval stages with .asNondeterministic() optimizer
+    # barriers between them — N Arrow serializations of the text column
+    # and N python-runner stage ramps for the same kernel work.
+    from ..udfs import multi_pattern_match_udf
 
-    out = out.select(
-        F.col(index_col),
-        F.least(score_expr, F.lit(0xFFFF)).cast("int").alias("score"),
-        exact_expr.alias("exact"),
+    triples = [
+        (p.needle, p.config.resolve(config), p.negated) for p in patterns
+    ]
+    udf = multi_pattern_match_udf(triples)
+    out = (
+        out.withColumn("_m", udf(F.col(text_col)))
+        .where(F.col("_m.matched"))
+        .select(
+            F.col(index_col),
+            F.col("_m.score").alias("score"),
+            F.col("_m.exact").alias("exact"),
+        )
     )
     if ordered:
         out = out.orderBy(*_order_columns(config, index_col))

@@ -105,6 +105,69 @@ def fuzzy_match_indices_udf(needle: str, config: Config | None = None):
     return _match
 
 
+def multi_pattern_match_udf(patterns, config: Config | None = None):
+    """One-pass multi-pattern scorer: text -> struct(matched, score, exact,
+    end_col) implementing the AND-of-atoms / score-sum / exact-OR /
+    negated-anti semantics of the reference's multi-pattern matcher
+    (src/matcher/multi.rs:84-152) inside a SINGLE Arrow transfer.
+
+    Survivor refinement happens via numpy masks inside the batch: pattern
+    i+1's kernel only scores the rows that survived patterns 0..i — the
+    same work reduction as the reference's per-pattern loop — but the text
+    column crosses the JVM<->Python boundary ONCE instead of once per
+    atom, and the plan is a single ArrowEval stage instead of N stages
+    separated by optimizer barriers (the round-3 chain measured 2-4x the
+    single-pass wall on 3-atom queries). `patterns` is a list of
+    (needle, resolved_config, negated) triples, resolved at plan time.
+
+    end_col is reported for the LAST non-negated atom that matched (the
+    reference's multi-pattern API exposes no end_col; this surface is for
+    the single-pattern path and reports 0 ambiguity-free only there)."""
+    compiled = [
+        (needle, cfg, negated) for needle, cfg, negated in patterns
+    ]
+
+    @pandas_udf(MATCH_STRUCT)
+    def _match(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from .kernel import match_batch
+
+        filled = texts.fillna("")
+        texts_list = filled.tolist()
+        n = len(texts_list)
+        alive = texts.notna().to_numpy().copy()
+        score = np.zeros(n, dtype=np.int64)
+        exact = np.zeros(n, dtype=bool)
+        end_col = np.zeros(n, dtype=np.int32)
+        for needle, cfg, negated in compiled:
+            idxs = np.nonzero(alive)[0]
+            if len(idxs) == 0:
+                break
+            res = match_batch(needle, [texts_list[i] for i in idxs], cfg)
+            if negated:
+                alive[idxs[res.matched]] = False
+                continue
+            alive[idxs[~res.matched]] = False
+            keep = idxs[res.matched]
+            score[keep] += res.score[res.matched].astype(np.int64)
+            exact[keep] |= res.exact[res.matched]
+            if res.end_col is not None:
+                end_col[keep] = res.end_col[res.matched].astype(np.int32)
+        # saturating u16 sum (operators sum scores the same way)
+        score = np.minimum(score, 0xFFFF).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "matched": alive,
+                "score": np.where(alive, score, 0).astype(np.int32),
+                "exact": alive & exact,
+                "end_col": np.where(alive, end_col, 0).astype(np.int32),
+            }
+        )
+
+    return _match
+
+
 def score_pairs_udf(config: Config | None = None):
     """Returns a pandas UDF (needle_text, haystack_text) -> score for
     candidate-pair verification in the dedup pipeline. Pairs are grouped by
