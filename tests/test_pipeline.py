@@ -139,3 +139,25 @@ def test_pipeline_kill_and_resume(spark, tmp_path, corpus):
     resumed_rows = {(r.url, r.cluster_id) for r in resumed.collect()}
 
     assert full_rows == resumed_rows
+
+
+def test_dedup_pages_scoped_reclaims_workdir(spark):
+    """ADVICE r3: every scaling-bench subprocess leaked a RAM-backed
+    clusters parquet + workdir on tmpfs. The scoped API must remove the
+    WHOLE workdir (clusters included) on exit, and the run must leave no
+    persisted RDDs behind."""
+    import glob
+
+    from frizbee_spark.pipeline.dedup_pipeline import dedup_pages_scoped
+    from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
+
+    before = set(glob.glob("/dev/shm/frizbee_dedup_dag_*"))
+    corpus = generate_corpus(n_base=40, dup_rate=0.25, seed=3)
+    df = corpus_to_df(spark, corpus)
+    with dedup_pages_scoped(spark, df) as clusters:
+        n = clusters.select("cluster_id").distinct().count()
+    assert n == 40
+    after = set(glob.glob("/dev/shm/frizbee_dedup_dag_*"))
+    assert after - before == set(), f"leaked workdirs: {after - before}"
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0, f"leaked {n_cached} persisted RDDs"

@@ -74,7 +74,18 @@ def _build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SCALING_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SCALING_DRIVER_MEM", "12g"))
+        # -Xms=-Xmx + AlwaysPreTouch: fault the WHOLE heap once during JVM
+        # startup (untimed) instead of growing it lazily during the
+        # measured job — this host's dominant noise source is bursty
+        # 30-100x-slow first-touch page faults, and a lazily-growing JVM
+        # heap is a steady stream of exactly those. 12g (not 48g) keeps
+        # the pre-touch quick and the GC scan set small; the job's real
+        # footprint at the measured scale is ~4g.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SCALING_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+        )
         # shuffle/spill files on tmpfs: a cluster executor's local SSD
         # stand-in — this VM's /tmp sits on slow virtio disk, which
         # otherwise serializes shuffle-heavy stages behind IO
