@@ -315,15 +315,22 @@ def simhash_docs_stream(
         bits = np.unpackbits(
             h_c.view(np.uint8).reshape(len(h_c), 8), axis=1, bitorder="little"
         )
-        counts = np.add.reduceat(bits.astype(np.int64), seg_starts, axis=0)
+        # reduceat needs a wider accumulator than uint8; stage the bits in a
+        # REUSED int32 scratch (a fresh (m, 64) int64 per chunk is ~16MB of
+        # first-touch faults per batch — this host's documented trap)
+        wide = buf("sim_bits", bits.size, dtype=np.int32)[: bits.size].reshape(
+            bits.shape
+        )
+        np.copyto(wide, bits)
+        counts = np.add.reduceat(wide, seg_starts, axis=0)
         maj = (2 * counts > n_unique[:, None]).astype(np.uint8)
         vals = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
         out[vd[d_u[seg_starts]]] = vals.view(np.int64)
         i = j
     cap = 4 * chunk_windows
-    for name in ("h", "t"):
+    for name, mult in (("h", 1), ("t", 1), ("sim_bits", 64)):
         cur = _MINHASH_SCRATCH.get(name)
-        if cur is not None and len(cur) > cap:
+        if cur is not None and len(cur) > cap * mult:
             del _MINHASH_SCRATCH[name]
 
 
