@@ -288,7 +288,13 @@ def main() -> None:
         "  measured contention knee, so the ratio measures the job, not the",
         "  host. The wider pair is recorded as a secondary observation.",
         "- every measurement runs in its own JVM subprocess, taskset-pinned",
-        "  to exactly N cores (a faithful N-core-cluster stand-in).",
+        "  to exactly N cores (a faithful N-core-cluster stand-in), with the",
+        "  JVM heap pre-touched at startup (first-touch page-fault bursts",
+        "  are this host's dominant noise source).",
+        "",
+        "The full measurement campaign — every run this round, including",
+        "aborted attempts and disproven hypotheses — is recorded in",
+        "BENCH/HISTORY.md.",
         "",
         "## Workload",
         "",
