@@ -5,9 +5,11 @@ public algorithm), expressed with DataFrame groupBy/join only.
 Scale notes:
 - per-node neighbor minima come from groupBy().min() — never a
   collect_list, so hub nodes (huge dup clusters) cannot blow up a task.
-- every round is checkpointed to parquet to cut lineage; convergence is
-  detected by an order-insensitive edge-set checksum, so the loop makes at
-  most O(log n) shuffles.
+- every round's plan is cut (parquet with checkpoint_dir, else a lazy
+  localCheckpoint whose LogicalRDD keeps analysis O(1)-deep); convergence
+  (star-forest + order-insensitive checksum) comes from ONE action per
+  round, so the loop makes at most O(log n) shuffles and as few driver
+  jobs.
 """
 
 from __future__ import annotations
@@ -69,6 +71,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+#: one full large-star + small-star round as a single CTE query. Building
+#: the same plan from ~30 nested Column objects costs a py4j round trip
+#: per node (measured 2-45 ms each on this host — driver-serial time per
+#: CC round); one spark.sql() call with a DataFrame parameter is ONE round
+#: trip and plans identically. Semantics mirror _large_star/_small_star
+#: exactly (DISTINCT == dropDuplicates, least/greatest id normalization).
+_ROUND_SQL = """
+WITH both AS (
+    SELECT a AS u, b AS v FROM {edges}
+    UNION ALL
+    SELECT b AS u, a AS v FROM {edges}
+),
+lmins AS (SELECT u, min(v) AS mn FROM both GROUP BY u),
+ls AS (
+    SELECT DISTINCT both.v AS a, least(lmins.mn, both.u) AS b
+    FROM both JOIN lmins ON both.u = lmins.u
+    WHERE both.v > both.u
+),
+directed AS (SELECT greatest(a, b) AS u, least(a, b) AS v FROM ls),
+smins AS (SELECT u, min(v) AS mn FROM directed GROUP BY u)
+SELECT DISTINCT
+    CASE WHEN d.v = smins.mn THEN d.u ELSE d.v END AS a,
+    smins.mn AS b
+FROM directed d JOIN smins ON d.u = smins.u
+WHERE CASE WHEN d.v = smins.mn THEN d.u ELSE d.v END != smins.mn
+"""
+
+
+def _star_round(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (SQL-CTE form of
+    `_small_star(_large_star(edges))` — kept behaviorally identical; the
+    Column forms remain as the executable specification and are
+    equivalence-tested against this)."""
+    return spark.sql(_ROUND_SQL, edges=edges)
+
+
 def _round_stats(edges: DataFrame) -> tuple[bool, tuple[int, int]]:
     """(is_star_forest, (n_edges, checksum)) in ONE Spark action.
 
@@ -83,34 +121,51 @@ def _round_stats(edges: DataFrame) -> tuple[bool, tuple[int, int]]:
     xxhash64(a, b) (child rows only) whose final xor equals the old
     order-insensitive edge checksum. Violations = any node with nc > 1
     (two parents) or nc > 0 and np > 0 (chain)."""
-    child = edges.select(F.col("a").alias("node"), F.col("b").alias("parent"))
-    parents = edges.select(
-        F.col("b").alias("node"), F.lit(None).cast("long").alias("parent")
-    )
-    per_node = child.unionAll(parents).groupBy("node").agg(
-        F.count("parent").alias("nc"),
-        F.sum(F.when(F.col("parent").isNull(), 1).otherwise(0)).alias("np"),
-        # case guard: xxhash64 skips null INPUTS (xxhash64(node, null) ==
-        # xxhash64(node), not null), so parent-marker rows must be excluded
-        # explicitly or they would pollute the edge checksum
-        F.expr(
-            "bit_xor(case when parent is not null then xxhash64(node, parent) end)"
-        ).alias("hp"),
-    )
-    row = per_node.agg(
-        F.coalesce(F.sum("nc"), F.lit(0)).alias("n"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    (F.col("nc") > 1) | ((F.col("nc") > 0) & (F.col("np") > 0)),
-                    1,
-                ).otherwise(0)
-            ),
-            F.lit(0),
-        ).alias("violations"),
-        F.coalesce(F.expr("bit_xor(hp)"), F.lit(0)).alias("h"),
+    # one spark.sql call (see _ROUND_SQL note on py4j chatter). The CASE
+    # guard matters: xxhash64 SKIPS null inputs (xxhash64(node, null) ==
+    # xxhash64(node), not null), so the parent-marker rows must be
+    # excluded explicitly or they would pollute the edge checksum.
+    row = edges.sparkSession.sql(
+        """
+        WITH pn AS (
+            SELECT node,
+                   count(parent) AS nc,
+                   sum(CASE WHEN parent IS NULL THEN 1 ELSE 0 END) AS np,
+                   bit_xor(CASE WHEN parent IS NOT NULL
+                                THEN xxhash64(node, parent) END) AS hp
+            FROM (
+                SELECT a AS node, b AS parent FROM {edges}
+                UNION ALL
+                SELECT b AS node, CAST(NULL AS BIGINT) AS parent FROM {edges}
+            )
+            GROUP BY node
+        )
+        SELECT coalesce(sum(nc), 0) AS n,
+               coalesce(sum(CASE WHEN nc > 1 OR (nc > 0 AND np > 0)
+                                 THEN 1 ELSE 0 END), 0) AS violations,
+               coalesce(bit_xor(hp), 0) AS h
+        FROM pn
+        """,
+        edges=edges,
     ).collect()[0]
     return int(row["violations"]) == 0, (int(row["n"]), int(row["h"]))
+
+
+class _LocalCheckpointHandle:
+    """`unpersist()` frees a lazily-localCheckpointed round's blocks — the
+    RDD captured inside the plan's LogicalRDD node. DataFrame.unpersist()
+    cannot reach them (they are RDD-level storage, not CacheManager
+    entries), and leaving them to ContextCleaner means a long-lived
+    session retains every round's edge blocks until a GC happens to run."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # pragma: no cover - defensive vs internals drift
+            pass
 
 
 def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -166,9 +221,9 @@ def connected_components(
     + resumable); otherwise each round is persisted and the convergence
     check itself fills the cache — exactly ONE driver action per round,
     because every extra short job is Amdahl serial time at high
-    parallelism. The final round's cache is appended to `persist_registry`
-    when given (callers unpersist after consuming the result); without a
-    registry it is left for ContextCleaner.
+    parallelism. Each round's checkpoint-block handle is appended to
+    `persist_registry` when given; callers unpersist after consuming the
+    result (without a registry the blocks are ContextCleaner-managed).
 
     `input_materialized=True` promises the edge list is already a shallow
     scan (e.g. a parquet stage-cut) — the defensive input checkpoint is
@@ -199,47 +254,46 @@ def connected_components(
         persisted = None
 
     prev_sig = None
-    prev_cached = None
     for i in range(max_iterations):
         # one materialization per full round: within a round each star
         # scans its input through a single reused exchange (groupBy-min +
         # join on the same key), so no mid-round checkpoint is needed
-        cur = _small_star(_large_star(cur))
+        cur = _star_round(spark, cur)
         if checkpoint_dir is not None:
             path = os.path.join(checkpoint_dir, f"cc_iter_{i}")
             cur.write.mode("overwrite").parquet(path)
             cur = spark.read.parquet(path)
             forest, sig = _round_stats(cur)
         else:
-            # lazy persist: the _round_stats action below both computes the
-            # convergence signals AND fills this round's cache (block-level
-            # locks make the two union scan legs share the computation), so
-            # the round costs ONE job instead of checkpoint + three checks.
+            # LAZY localCheckpoint: swaps the round's LOGICAL plan for a
+            # shallow LogicalRDD immediately (computation deferred), so the
+            # _round_stats action below both computes the round AND stores
+            # its blocks in ONE job — and, critically, every later round's
+            # plan ANALYSIS stays O(1)-deep. The earlier persist-based
+            # fusion kept the full lineage in the logical tree; by round 2
+            # the analyzer was re-walking the whole history and the event
+            # log showed 5-10s driver gaps per CC round at local[8].
+            # Checkpoint blocks are ContextCleaner-managed (freed on GC),
+            # so no unpersist bookkeeping is needed.
             # Round 0 skips the check entirely — no realistic dup graph is
             # a star forest after one round (a trivial/empty one just pays
             # one cheap no-op round), so its materialization rides inside
             # round 1's action and one more short driver job disappears.
-            cur = cur.persist()
+            cur = cur.localCheckpoint(eager=False)
+            if persist_registry is not None:
+                persist_registry.append(_LocalCheckpointHandle(cur))
             if i == 0 and max_iterations > 1:
-                prev_cached = cur
                 continue
             forest, sig = _round_stats(cur)
         # primary stop: converged star forest (stars are no-ops on it) —
         # detected one full round earlier than checksum equality. The
         # checksum remains as the paper's safety net; both signals come
         # from ONE action per round (_round_stats).
-        if prev_cached is not None:
-            prev_cached.unpersist()
-            prev_cached = None
-        if checkpoint_dir is None:
-            prev_cached = cur
         if forest:
             break
         if sig == prev_sig:
             break
         prev_sig = sig
-    if prev_cached is not None and persist_registry is not None:
-        persist_registry.append(prev_cached)
 
     # after convergence every edge is (node -> component root)
     assignments = cur.select(

@@ -152,6 +152,9 @@ def test_dedup_pages_scoped_reclaims_workdir(spark):
     from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
 
     before = set(glob.glob("/dev/shm/frizbee_dedup_dag_*"))
+    # delta-based: earlier tests in the shared session may have
+    # ContextCleaner-pending checkpoint blocks of their own
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     corpus = generate_corpus(n_base=40, dup_rate=0.25, seed=3)
     df = corpus_to_df(spark, corpus)
     with dedup_pages_scoped(spark, df) as clusters:
@@ -159,5 +162,28 @@ def test_dedup_pages_scoped_reclaims_workdir(spark):
     assert n == 40
     after = set(glob.glob("/dev/shm/frizbee_dedup_dag_*"))
     assert after - before == set(), f"leaked workdirs: {after - before}"
-    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached == 0, f"leaked {n_cached} persisted RDDs"
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after <= cached_before, (
+        f"scoped dedup leaked {cached_after - cached_before} persisted RDDs"
+    )
+
+
+def test_star_round_sql_matches_column_form(spark):
+    """_star_round (one spark.sql CTE per CC round) must be row-identical
+    to the Column-built _small_star(_large_star(...)) specification."""
+    import random
+
+    from frizbee_spark.pipeline.connected_components import (
+        _large_star,
+        _small_star,
+        _star_round,
+    )
+
+    rng = random.Random(17)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)]
+    edges += [(5, 5), (61, 62), (62, 63), (63, 61)]  # self-loop + cycle
+    df = spark.createDataFrame(edges, "a long, b long").where("a != b")
+    want = _small_star(_large_star(df))
+    got = _star_round(spark, df)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -90,6 +90,24 @@ def _build_spark(cpus: int):
         # stand-in — this VM's /tmp sits on slow virtio disk, which
         # otherwise serializes shuffle-heavy stages behind IO
         .config("spark.local.dir", _local_dir())
+        # zstd stage cuts: tmpfs writes are page ALLOCATIONS on this host
+        # (its dominant noise source is fault-path slowness under load);
+        # ~40% fewer bytes written per stage cut is ~40% less exposure,
+        # and a real cluster compresses stage boundaries anyway
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SCALING_PARQUET_CODEC", "zstd"),
+        )
+        # ~8MB Arrow batches instead of the 20MB default: glibc's dynamic
+        # mmap threshold tops out below that, so per-batch buffers recycle
+        # through the heap instead of fresh mmap/munmap cycles — each of
+        # which is first-touch faults on this host. Throughput-neutral on
+        # a healthy host (kernel vectorization is batch-size-insensitive
+        # above ~1k rows).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SCALING_ARROW_BATCH", "4096"),
+        )
     )
     if os.environ.get("SCALING_EVLOG"):
         os.makedirs(os.environ["SCALING_EVLOG"], exist_ok=True)
