@@ -15,8 +15,8 @@ Measurement protocol (and why):
   (low, high[, low2, high2]) so the levels of one rep share host weather,
   and the HEADLINE estimator is the MEDIAN pair efficiency across reps
   (the round-3 best-pair headline overstated; the judge asked for the
-  median — VERDICT r3). The best pair and the full spread are recorded
-  alongside.
+  median — VERDICT r3). The full spread and the fastest (least
+  host-interfered) pair are recorded alongside.
 - The PRIMARY pair is local[2] -> local[8]: both levels sit below the
   host's measured contention knee, so the ratio measures the job, not the
   host. local[4] -> local[16] is recorded as the SECONDARY pair — its high
@@ -216,7 +216,9 @@ def _pair_eff(lo: dict, hi: dict) -> float:
 
 def _summarize(pair_runs: list[tuple[dict, dict]]) -> dict:
     effs = sorted(_pair_eff(lo, hi) for lo, hi in pair_runs)
-    best_lo, best_hi = min(pair_runs, key=lambda p: p[0]["wall_sec"] + p[1]["wall_sec"])
+    # fastest pair by combined wall — the least host-interfered rep (NOT
+    # necessarily the best efficiency; a clean low leg LOWERS the ratio)
+    fast_lo, fast_hi = min(pair_runs, key=lambda p: p[0]["wall_sec"] + p[1]["wall_sec"])
     med = statistics.median(effs)
     # the rep whose efficiency is the median (or nearest above it, for even
     # rep counts) — reported so the headline row is a REAL measured pair,
@@ -230,9 +232,9 @@ def _summarize(pair_runs: list[tuple[dict, dict]]) -> dict:
         "median_eff": round(med, 3),
         "min_eff": round(effs[0], 3),
         "max_eff": round(effs[-1], 3),
-        "best_pair_eff": round(_pair_eff(best_lo, best_hi), 3),
+        "fastest_pair_eff": round(_pair_eff(fast_lo, fast_hi), 3),
         "median_rep": {"low": med_lo, "high": med_hi},
-        "best_rep": {"low": best_lo, "high": best_hi},
+        "fastest_rep": {"low": fast_lo, "high": fast_hi},
         "consistent": all(
             lo["n_clusters"] == hi["n_clusters"] == pair_runs[0][0]["n_clusters"]
             for lo, hi in pair_runs
@@ -299,7 +301,8 @@ def main() -> None:
         "- levels are measured as INTERLEAVED back-to-back groups per rep so",
         "  all levels of a rep share host weather;",
         "- the HEADLINE estimator is the MEDIAN pair efficiency across reps",
-        "  (best pair + full spread reported alongside — a gate that passes",
+        "  (full spread + the fastest-by-combined-wall pair — the least",
+        "  host-interfered rep — reported alongside; a gate that passes",
         "  only in the best of N samples has not passed);",
         f"- the PRIMARY pair is local[{primary['low_cpus']}] ->",
         f"  local[{primary['high_cpus']}]: both levels sit below the host's",
@@ -336,7 +339,7 @@ def main() -> None:
             "",
             f"**Median pair efficiency = {s['median_eff']:.3f}** "
             f"(target >= 0.8; spread {s['min_eff']:.3f}-{s['max_eff']:.3f}, "
-            f"best pair {s['best_pair_eff']:.3f})",
+            f"fastest-wall pair {s['fastest_pair_eff']:.3f})",
             "",
             "Median rep:",
             "",
