@@ -8,6 +8,7 @@ Reads /tmp/spark-events/eventlog_v2_<app_id>/.
 from __future__ import annotations
 
 import glob
+import os
 import json
 import subprocess
 import sys
@@ -25,7 +26,11 @@ def lines(path: str):
 def main() -> None:
     app = sys.argv[1]
     top = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    files = sorted(glob.glob(f"/tmp/spark-events/eventlog_v2_{app}/events_*"))
+    files = sorted(
+        glob.glob(f"/tmp/spark-events/eventlog_v2_{app}/events_*")
+        or glob.glob(os.path.join(app, "events_*"))
+        or ([app] if os.path.isfile(app) else [])
+    )
     stages: dict[int, dict] = {}
     tm: dict[int, dict] = {}
     jobs: list[dict] = []
