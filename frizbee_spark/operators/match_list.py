@@ -116,7 +116,21 @@ def match_query(
 
     Each atom is one vectorized UDF projection; negated atoms become a SQL
     NOT on the matched flag (relationally a left-anti semi-join on the same
-    row set, fused here into a single projection pipeline)."""
+    row set, fused here into a single projection pipeline).
+
+    API caveats (documented limits, matching the reference surface):
+    - `end_col` on the multi-pattern path reports the last non-negated
+      atom's end column for NORMAL-sized haystacks, but reads 0 for
+      haystacks on the >1024-byte greedy fallback path — the reference's
+      multi-pattern matcher exposes no end_col at all (its `match_end_col`
+      feature is single-pattern only, src/lib.rs:150-152), so the greedy
+      second pass that recovers it is only wired into the single-pattern
+      path. Callers needing exact end columns for oversized haystacks
+      should re-match the (few) surviving rows with `match_list(...,
+      with_end_col=True)`.
+    - NULL text rows never match — including all-negated queries like
+      `!foo` (null is unknown content, not empty content; empty strings
+      DO survive `!foo`). Same rule as the single-pattern path."""
     config = config or Config()
     patterns = Pattern.parse_query(query)
 

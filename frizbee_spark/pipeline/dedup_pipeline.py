@@ -430,9 +430,11 @@ def verify_pairs(
         .mapInArrow(_est_batches, "a long, b long, est double")
     )
     if scratch_dir is None and persist_registry is None:
-        from ..runtime import fast_scratch_dir
+        # shared per-process dir, overwritten by the next registry-less
+        # call — bounds tmpfs retention to one copy (ADVICE r4)
+        from ..runtime import shared_scratch_dir
 
-        scratch_dir = fast_scratch_dir("frizbee_verify_scratch_")
+        scratch_dir = shared_scratch_dir("verify_scratch")
     if scratch_dir is not None:
         from ..runtime import scratch_cut
 

@@ -56,6 +56,31 @@ def release_scratch_dir(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+#: process-singleton scratch dirs, keyed by purpose (ADVICE r4): registry-
+#: less operators (candidate_pairs, verify_pairs) used to mkdtemp a fresh
+#: tmpfs dir PER CALL that only atexit reclaimed, so a long-lived session
+#: looping over such calls (the bench loop) accumulated RAM-backed parquet
+#: for the process lifetime. A shared dir per purpose bounds retention to
+#: ONE copy: scratch_cut writes mode("overwrite"), so each call replaces
+#: the previous call's files in place.
+_SHARED_SCRATCH: dict[str, str] = {}
+
+
+def shared_scratch_dir(name: str) -> str:
+    """Per-process singleton scratch dir for registry-less operator calls.
+
+    Single-flight semantics: a later call to the same operator OVERWRITES
+    the previous call's materialization, so a DataFrame returned by an
+    earlier registry-less call must be fully consumed before the next call
+    (sequential pipelines and the bench loop do; callers needing
+    overlapping lifetimes pass an explicit `scratch_dir`)."""
+    got = _SHARED_SCRATCH.get(name)
+    if got is None or not os.path.isdir(got):
+        got = fast_scratch_dir(f"frizbee_{name}_")
+        _SHARED_SCRATCH[name] = got
+    return got
+
+
 @atexit.register
 def _cleanup_scratch_dirs() -> None:  # pragma: no cover - exit hook
     for path in list(_SCRATCH_DIRS):

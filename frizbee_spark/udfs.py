@@ -120,6 +120,14 @@ def multi_pattern_match_udf(patterns, config: Config | None = None):
     single-pass wall on 3-atom queries). `patterns` is a list of
     (needle, resolved_config, negated) triples, resolved at plan time.
 
+    Null rule (ADVICE r4, now the documented contract): a NULL text row
+    never matches — in the single-pattern path (`fuzzy_match_udf` masks
+    `matched` with notna) and here alike, INCLUDING all-negated queries
+    like `!foo` (null is unknown content, not empty content; `alive`
+    starts as notna so a null row cannot survive to the output). An
+    empty-string row, by contrast, is real content and e.g. survives
+    `!foo`. tests/test_spark_match.py pins both paths.
+
     end_col is reported for the LAST non-negated atom that matched (the
     reference's multi-pattern API exposes no end_col; this surface is for
     the single-pattern path and reports 0 ambiguity-free only there)."""

@@ -263,3 +263,47 @@ def test_candidate_pairs_registry_less_leaves_no_cache(spark):
     pairs.count()
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0, f"registry-less candidate_pairs leaked {n_cached} RDDs"
+
+
+def test_simhash_pairs_invalid_docs_not_quadratic(spark):
+    """VERDICT r4: invalid docs (null/short text) all carried simhash 0 and
+    the unsalted self-join paired every one with every other — O(n^2) on
+    the empty-doc population alone. With the sentinel filter + the salted/
+    capped machinery, 1,000 empty docs must produce ZERO pairs (and the
+    valid near-dups must still pair)."""
+    rows = [(i, "") for i in range(500)]
+    rows += [(1000 + i, None) for i in range(500)]
+    base = "jaqovu the betiwa kunelo of rapozi wemaku and silevo dumora gafiho"
+    rows += [(2000, base), (2001, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = simhash_values(df)
+    pairs = {(r.a, r.b) for r in simhash_candidate_pairs(sims).collect()}
+    assert (2000, 2001) in pairs
+    invalid = {i for i in range(500)} | {1000 + i for i in range(500)}
+    assert not any(a in invalid or b in invalid for a, b in pairs)
+
+
+def test_registry_less_calls_share_one_scratch_dir(spark):
+    """ADVICE r4: repeated registry-less candidate_pairs calls must reuse
+    ONE per-process scratch dir (overwritten in place), not accumulate a
+    fresh tmpfs dir per call."""
+    from frizbee_spark import runtime
+
+    df = spark.createDataFrame(
+        [(i, f"common shingle text block number {i % 7} with shared phrasing")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    def run_once():
+        sigs = minhash_signatures(df, shingle_k=5, num_perm=32)
+        bands = lsh_bands(sigs, num_bands=8, num_perm=32)
+        pairs, _ = candidate_pairs(bands, bucket_cap=16)
+        return pairs.count()
+
+    n1 = run_once()
+    before = set(runtime._SCRATCH_DIRS)
+    n2 = run_once()
+    after = set(runtime._SCRATCH_DIRS)
+    assert n1 == n2
+    assert after == before, "second registry-less call created a new scratch dir"

@@ -75,3 +75,30 @@ def test_spark_match_query_empty(spark):
     df = _spark_df(spark, texts)
     got = match_query(df, "", Config()).collect()
     assert [(r.doc_id, r.score) for r in got] == [(0, 0), (1, 0)]
+
+
+def test_null_text_never_matches_single_pattern(spark):
+    """Documented null rule (ADVICE r4): NULL text rows never match; empty
+    strings are real content and behave normally."""
+    df = spark.createDataFrame(
+        [(0, "foo"), (1, None), (2, "")], ["doc_id", "text"]
+    )
+    # with max_typos=None the SW path matches "" at score 0 (reference
+    # semantics — no prefilter rejects it); the NULL row alone is dropped
+    got = {r.doc_id for r in match_list(df, "foo", Config(max_typos=None)).collect()}
+    assert got == {0, 2}
+    # with a typo budget the length prefilter also rejects ""
+    got = {r.doc_id for r in match_list(df, "foo", Config(max_typos=0)).collect()}
+    assert got == {0}
+
+
+def test_null_text_never_matches_all_negated_query(spark):
+    """The all-negated corner the round-3 rewrite changed: `!foo` keeps
+    empty strings (real content without 'foo') but still drops NULLs —
+    null is unknown content, not empty content."""
+    df = spark.createDataFrame(
+        [(0, "has foo inside"), (1, None), (2, ""), (3, "bar only")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in match_query(df, "!foo", Config()).collect()}
+    assert got == {2, 3}
