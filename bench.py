@@ -83,7 +83,14 @@ def dedup_end_to_end(spark, sf_dir: str) -> int:
     return n_docs
 
 
-def run_benchmarks(spark, sf_dir: str) -> dict:
+def run_benchmarks(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Each query (and the dedup leg) runs `reps` times; the reported
+    per-query number is the MEDIAN, with min/max + raw samples alongside.
+    This host's interference arrives in multi-minute bursts that make a
+    single sample swing 1.3-4.8x (VERDICT r4 adjudicated exactly that for
+    BENCH_r04.json) — at 3 reps the artifact adjudicates itself."""
+    import statistics
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -106,42 +113,62 @@ def run_benchmarks(spark, sf_dir: str) -> dict:
     queries["match_fuzzy"](spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in headline:
         fn = queries[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        _ = n
-        # NO clearCache between queries (round-3 bench needed it to mask
-        # the candidate_pairs persist leak): operators must leave no
-        # retained cache behind on their own — asserted here so a
-        # regression shows up as a bench failure, not a mystery slowdown
-        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        if n_cached:
-            raise RuntimeError(
-                f"query {name!r} leaked {n_cached} persisted RDD(s) — "
-                "operators must unpersist or use scratch cuts"
-            )
+        samples: list[float] = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            samples.append(round(time.perf_counter() - start, 4))
+            # NO clearCache between queries (round-3 bench needed it to mask
+            # the candidate_pairs persist leak): operators must leave no
+            # retained cache behind on their own — asserted here so a
+            # regression shows up as a bench failure, not a mystery slowdown
+            n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if n_cached:
+                raise RuntimeError(
+                    f"query {name!r} leaked {n_cached} persisted RDD(s) — "
+                    "operators must unpersist or use scratch cuts"
+                )
+        timings[name] = round(statistics.median(samples), 4)
+        spread[name] = {"min": min(samples), "max": max(samples), "reps": samples}
 
-    start = time.perf_counter()
-    n_docs = dedup_end_to_end(spark, sf_dir)
-    dedup_sec = time.perf_counter() - start
+    dedup_samples: list[float] = []
+    n_docs = 0
+    for _ in range(reps):
+        start = time.perf_counter()
+        n_docs = dedup_end_to_end(spark, sf_dir)
+        dedup_samples.append(round(time.perf_counter() - start, 4))
+    dedup_sec = statistics.median(dedup_samples)
     timings["dedup_end_to_end"] = round(dedup_sec, 4)
+    spread["dedup_end_to_end"] = {
+        "min": min(dedup_samples),
+        "max": max(dedup_samples),
+        "reps": dedup_samples,
+    }
     timings["dedup_docs_per_sec"] = round(n_docs / dedup_sec, 2)
 
     total = round(sum(v for k, v in timings.items() if k.endswith(("_sec",)) is False
                       and k != "dedup_docs_per_sec"), 4)
-    return {"total_sec": total, "queries": timings, "n_docs": n_docs}
+    return {
+        "total_sec": total,
+        "queries": timings,
+        "spread": spread,
+        "n_docs": n_docs,
+        "reps": reps,
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        result = run_benchmarks(spark, sf_dir)
+        result = run_benchmarks(spark, sf_dir, reps=reps)
     finally:
         spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,7 +178,9 @@ def main() -> None:
                 "metric": "headline_suite_wall",
                 "value": result["total_sec"],
                 "unit": "sec",
+                "estimator": f"median of {reps} reps per query",
                 "queries": result["queries"],
+                "spread": result["spread"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "n_docs": result["n_docs"],

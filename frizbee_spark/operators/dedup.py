@@ -59,8 +59,18 @@ def minhash_signatures(
     shingle_k: int = 5,
     num_perm: int = 128,
     seed: int = 42,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, signature: array<long>) MinHash signatures over char k-shingles.
+    """(id, signature: array<long>[, *keep_cols]) MinHash signatures over
+    char k-shingles.
+
+    `keep_cols` echoes the named input columns into the output batches
+    (zero-copy on the Python side — the same Arrow arrays are handed back),
+    so a caller can materialize docs+signatures as ONE combined stage cut
+    instead of two: one fewer write barrier and one fewer parquet
+    round-trip of the text payload in the throughput pipeline. The cost is
+    shipping those columns back across the Arrow boundary once; columnar
+    consumers still prune them from the combined scan.
 
     Implemented with mapInArrow and zero-copy Arrow buffers: the batch's
     utf-8 payload is ONE concatenated byte buffer, so shingle rolling
@@ -71,7 +81,11 @@ def minhash_signatures(
     boxing, which otherwise dominate this stage (~2ms/doc of pure
     serialization vs ~1ms/doc of hashing)."""
     a, b = H.minhash_params(num_perm, seed)
-    out_schema = f"{id_col} long, signature array<long>"
+    keep_cols = tuple(c for c in keep_cols if c not in (id_col, "signature"))
+    schema_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = f"{id_col} long, signature array<long>" + "".join(
+        f", {c} {schema_by_name[c]}" for c in keep_cols
+    )
 
     def _batches(iterator):
         import os
@@ -120,9 +134,15 @@ def minhash_signatures(
                     f"mins={time.perf_counter() - t2:.3f} pid={os.getpid()}",
                     flush=True,
                 )
-            yield pa.RecordBatch.from_arrays([ids, sig_col], [id_col, "signature"])
+            extra = [
+                batch.column(batch.schema.get_field_index(c)) for c in keep_cols
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_col, *extra], [id_col, "signature", *keep_cols]
+            )
 
-    return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
+    in_cols = [id_col, text_col] + [c for c in keep_cols if c != text_col]
+    return df.select(*in_cols).mapInArrow(_batches, out_schema)
 
 
 def _string_buffers(texts, np, pa, copy: bool = True):
@@ -203,6 +223,7 @@ def candidate_pairs(
     min_band_collisions: int = 1,
     persist_registry: list | None = None,
     scratch_dir: str | None = None,
+    lazy_checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Unique (a, b) candidate pairs from shared LSH buckets, a < b — the
     salted, skew-aware groupBy mandated by the north rule.
@@ -270,21 +291,33 @@ def candidate_pairs(
     # materializes; with NEITHER given, a scratch dir is auto-created and
     # removed at process exit — the round-3 layout persisted here and
     # leaked the cache for every registry-less caller (VERDICT r3).
-    if scratch_dir is None and persist_registry is None:
-        # shared per-process dir, overwritten by the next registry-less
-        # call: a fresh mkdtemp per call accumulated tmpfs parquet (host
-        # RAM) across a long-lived session's repeated calls (ADVICE r4)
-        from ..runtime import shared_scratch_dir
+    if lazy_checkpoint and persist_registry is not None:
+        # LAZY localCheckpoint: the plan becomes a shallow LogicalRDD now,
+        # the blocks materialize inside the first downstream action (the
+        # block manager's per-block write lock makes the two self-join
+        # branches compute each partition once) — ZERO extra driver jobs
+        # and no write-commit barrier, at the price of non-resumability
+        # (the single-DAG throughput path's documented tradeoff; the
+        # checkpointed pipeline keeps parquet cuts)
+        from ..runtime import lazy_cut
 
-        scratch_dir = shared_scratch_dir("pairs_scratch")
-    if scratch_dir is not None:
-        from ..runtime import scratch_cut
-
-        salted = scratch_cut(salted, "salted", scratch_dir)
+        salted = lazy_cut(salted, persist_registry)
     else:
-        salted = salted.persist()
-        persist_registry.append(salted)
-        salted.count()  # eager fill: both self-join branches must hit the cache
+        if scratch_dir is None and persist_registry is None:
+            # shared per-process dir, overwritten by the next registry-less
+            # call: a fresh mkdtemp per call accumulated tmpfs parquet (host
+            # RAM) across a long-lived session's repeated calls (ADVICE r4)
+            from ..runtime import shared_scratch_dir
+
+            scratch_dir = shared_scratch_dir("pairs_scratch")
+        if scratch_dir is not None:
+            from ..runtime import scratch_cut
+
+            salted = scratch_cut(salted, "salted", scratch_dir)
+        else:
+            salted = salted.persist()
+            persist_registry.append(salted)
+            salted.count()  # eager fill: both self-join branches must hit the cache
     # left side replicates each member to every salt group >= its own
     # (full pairing) while over-hard_cap buckets stay within-salt (sampled);
     # ordering of ids inside a pair is normalized afterwards (least/greatest)

@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import LocalCheckpointHandle as _LocalCheckpointHandle
+
 __all__ = ["connected_components"]
 
 
@@ -151,21 +153,6 @@ def _round_stats(edges: DataFrame) -> tuple[bool, tuple[int, int]]:
     return int(row["violations"]) == 0, (int(row["n"]), int(row["h"]))
 
 
-class _LocalCheckpointHandle:
-    """`unpersist()` frees a lazily-localCheckpointed round's blocks — the
-    RDD captured inside the plan's LogicalRDD node. DataFrame.unpersist()
-    cannot reach them (they are RDD-level storage, not CacheManager
-    entries), and leaving them to ContextCleaner means a long-lived
-    session retains every round's edge blocks until a GC happens to run."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def unpersist(self) -> None:
-        try:
-            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # pragma: no cover - defensive vs internals drift
-            pass
 
 
 def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -208,6 +195,7 @@ def connected_components(
     driver_threshold: int = 100_000,
     input_materialized: bool = False,
     persist_registry: list | None = None,
+    rounds_per_check: int = 1,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id of the
     component. Input: undirected edge list with columns (a, b).
@@ -226,9 +214,23 @@ def connected_components(
     result (without a registry the blocks are ContextCleaner-managed).
 
     `input_materialized=True` promises the edge list is already a shallow
-    scan (e.g. a parquet stage-cut) — the defensive input checkpoint is
-    skipped; deep lazy inputs would otherwise recompute their whole
-    upstream DAG in every star round."""
+    scan (e.g. a parquet stage-cut, or a lazy localCheckpoint whose blocks
+    materialize inside the first round's action) — the defensive input
+    checkpoint is skipped; deep lazy inputs would otherwise recompute
+    their whole upstream DAG in every star round.
+
+    `rounds_per_check` chains that many large+small-star rounds between
+    convergence checks: every check is a driver ACTION (fixed scheduling +
+    planning cost that Amdahl's law charges straight against scaling
+    efficiency), so on graphs known to converge in a few rounds — dup
+    clusters are near-cliques of diameter ~1-2 — checking every 2 rounds
+    halves the job count at the price of at most `rounds_per_check - 1`
+    extra no-op rounds over an already-collapsed (tiny) edge set. Within a
+    batch, round k+1 references round k's un-cut plan twice (the
+    both-directions union); the duplicated subtree shares its shuffles via
+    ReuseExchange, so the batch is one deeper plan, not double work. The
+    default (1) keeps the library semantics; the throughput path passes
+    2."""
     cur = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
@@ -254,20 +256,27 @@ def connected_components(
         persisted = None
 
     prev_sig = None
-    for i in range(max_iterations):
-        # one materialization per full round: within a round each star
+    rounds_done = 0
+    first_check = True
+    while rounds_done < max_iterations:
+        # one materialization per CHECK BATCH: within a round each star
         # scans its input through a single reused exchange (groupBy-min +
-        # join on the same key), so no mid-round checkpoint is needed
-        cur = _star_round(spark, cur)
+        # join on the same key), and chained rounds inside a batch share
+        # their duplicated subtrees via ReuseExchange, so no mid-batch
+        # checkpoint is needed
+        steps = min(rounds_per_check, max_iterations - rounds_done)
+        for _ in range(steps):
+            cur = _star_round(spark, cur)
+        rounds_done += steps
         if checkpoint_dir is not None:
-            path = os.path.join(checkpoint_dir, f"cc_iter_{i}")
+            path = os.path.join(checkpoint_dir, f"cc_iter_{rounds_done - 1}")
             cur.write.mode("overwrite").parquet(path)
             cur = spark.read.parquet(path)
             forest, sig = _round_stats(cur)
         else:
-            # LAZY localCheckpoint: swaps the round's LOGICAL plan for a
+            # LAZY localCheckpoint: swaps the batch's LOGICAL plan for a
             # shallow LogicalRDD immediately (computation deferred), so the
-            # _round_stats action below both computes the round AND stores
+            # _round_stats action below both computes the batch AND stores
             # its blocks in ONE job — and, critically, every later round's
             # plan ANALYSIS stays O(1)-deep. The earlier persist-based
             # fusion kept the full lineage in the logical tree; by round 2
@@ -275,14 +284,16 @@ def connected_components(
             # log showed 5-10s driver gaps per CC round at local[8].
             # Checkpoint blocks are ContextCleaner-managed (freed on GC),
             # so no unpersist bookkeeping is needed.
-            # Round 0 skips the check entirely — no realistic dup graph is
-            # a star forest after one round (a trivial/empty one just pays
-            # one cheap no-op round), so its materialization rides inside
-            # round 1's action and one more short driver job disappears.
+            # The FIRST check is skipped entirely — no realistic dup graph
+            # is a star forest after one batch (a trivial/empty one just
+            # pays one cheap no-op batch), so its materialization rides
+            # inside the second batch's action and one more short driver
+            # job disappears.
             cur = cur.localCheckpoint(eager=False)
             if persist_registry is not None:
                 persist_registry.append(_LocalCheckpointHandle(cur))
-            if i == 0 and max_iterations > 1:
+            if first_check and rounds_done < max_iterations:
+                first_check = False
                 continue
             forest, sig = _round_stats(cur)
         # primary stop: converged star forest (stars are no-ops on it) —

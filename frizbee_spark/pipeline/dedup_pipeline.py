@@ -273,6 +273,7 @@ def extract_latest_per_url(
     pages: DataFrame,
     recapture_strategy: str = "auto",
     broadcast_threshold: int = 5_000_000,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Latest capture wins per url, without shuffling page payloads for
     the (typically dominant) urls captured exactly once.
@@ -293,7 +294,12 @@ def extract_latest_per_url(
       broadcast would OOM the driver.
     - 'auto' (default): count the recaptured urls first (a column-pruned
       scan, cheap next to the payload work) and broadcast only below
-      `broadcast_threshold`, else fall back to the window path."""
+      `broadcast_threshold`, else fall back to the window path.
+
+    With `persist_registry` the (tiny) recaptured-url set is persisted so
+    the 'auto' count and the two broadcast builds share ONE computation of
+    the url groupBy instead of three shuffles of the url column; the
+    caller unpersists via the registry once extraction materializes."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -311,6 +317,9 @@ def extract_latest_per_url(
         .where(F.col("_n") > 1)
         .select("url")
     )
+    if persist_registry is not None:
+        recaptured = recaptured.persist()
+        persist_registry.append(recaptured)
     if recapture_strategy == "auto" and recaptured.count() > broadcast_threshold:
         return (
             pages.withColumn("_rn", F.row_number().over(w))
@@ -347,6 +356,7 @@ def verify_pairs(
     signatures: DataFrame | None = None,
     persist_registry: list | None = None,
     scratch_dir: str | None = None,
+    lazy_checkpoint: bool = False,
 ) -> DataFrame:
     """Candidate-pair verification, cheapest-signal-first (the reference's
     own staging philosophy, matcher/algo.rs: length filter -> prefilter ->
@@ -429,13 +439,19 @@ def verify_pairs(
         .select("a", "b", "sig_a", "sig_b")
         .mapInArrow(_est_batches, "a long, b long, est double")
     )
-    if scratch_dir is None and persist_registry is None:
+    if lazy_checkpoint and persist_registry is not None:
+        # zero-job stage cut: est's blocks materialize inside the first
+        # downstream action (see runtime.lazy_cut) — the throughput path
+        from ..runtime import lazy_cut
+
+        est = lazy_cut(est, persist_registry)
+    elif scratch_dir is None and persist_registry is None:
         # shared per-process dir, overwritten by the next registry-less
         # call — bounds tmpfs retention to one copy (ADVICE r4)
-        from ..runtime import shared_scratch_dir
+        from ..runtime import scratch_cut, shared_scratch_dir
 
-        scratch_dir = shared_scratch_dir("verify_scratch")
-    if scratch_dir is not None:
+        est = scratch_cut(est, "est", shared_scratch_dir("verify_scratch"))
+    elif scratch_dir is not None:
         from ..runtime import scratch_cut
 
         est = scratch_cut(est, "est", scratch_dir)
@@ -595,54 +611,91 @@ def dedup_pages_single_dag(
     config: DedupConfig | None = None,
     workdir: str | None = None,
     cleanup: bool = True,
+    stats: dict | None = None,
+    cut_mode: str = "parquet",
 ) -> DataFrame:
-    """The same dedup job as DedupPipeline, materializing each stage to
-    parquet on fast local scratch (tmpfs) instead of keeping one giant lazy
-    DAG — the throughput/scaling measurement path.
+    """The same dedup job as DedupPipeline with shallow stage cuts instead
+    of one giant lazy DAG — the throughput/scaling measurement path.
 
-    Why parquet stage-cuts and not in-memory persists: `persist()` caches
-    DATA but keeps the full logical PLAN. By the verify/CC stages the
-    accumulated plan is deep enough that Catalyst+AQE planning runs 10-16s
-    per action ON THE DRIVER (measured via event-log job gaps: 51s of a
-    119s run was inter-stage driver think-time) — serial time that Amdahl's
-    law turns straight into lost scaling efficiency. A parquet stage cut
-    makes every downstream action plan against a shallow scan (planning
-    drops to ~ms), keeps executor memory free of cache+GC pressure, and is
-    exactly what the checkpointed production pipeline (DedupPipeline) does
-    at 100 TB — where stage boundaries land on the distributed FS anyway.
+    Why stage cuts and not plain persists: `persist()` caches DATA but
+    keeps the full logical PLAN. By the verify/CC stages the accumulated
+    plan is deep enough that Catalyst+AQE planning runs 10-16s per action
+    ON THE DRIVER (measured via event-log job gaps: 51s of a 119s run was
+    inter-stage driver think-time) — serial time that Amdahl's law turns
+    straight into lost scaling efficiency. Both cut flavors plan every
+    downstream action against a shallow node:
 
-    Returns the cluster table (url, doc_id, cluster_id); `workdir` holds
-    the stage parquets (auto-created on tmpfs when None). With `cleanup`
-    every intermediate except the final clusters parquet is removed before
-    returning, and an auto-created workdir is registered for atexit
-    removal — the returned DataFrame reads the clusters parquet, so the
-    dir itself can only go once the caller is done; use
-    `dedup_pages_scoped` to bound its lifetime explicitly."""
+    - `cut_mode="parquet"`: each stage writes tmpfs parquet and reads it
+      back — an eager write barrier + driver job per stage, but stages are
+      individually inspectable and executor memory stays free of cached
+      blocks. This mirrors what the checkpointed production pipeline does
+      at 100 TB (stage boundaries on the distributed FS).
+    - `cut_mode="lc"`: each stage is a LAZY localCheckpoint
+      (runtime.lazy_cut) — the plan truncates to a LogicalRDD immediately
+      while computation defers into the first consuming action, so the
+      whole pipeline runs as a handful of driver jobs with no write-commit
+      barriers (measured: the barrier+job tail was a third of the serial
+      cost S at local[8]). Blocks live in executor storage with lineage
+      truncated: maximum throughput, no mid-job resumability — on a real
+      cluster this is the classic performance-over-fault-tolerance
+      localCheckpoint tradeoff, and the resumable DedupPipeline remains
+      the production path.
+
+    Stage fusion (round 5): extraction and MinHash signatures materialize
+    as ONE combined cut carrying (url, doc_id, text, lang, signature) —
+    `minhash_signatures(keep_cols=...)` echoes the doc columns through the
+    Arrow pass — so the docs/sigs consumers are column-pruned reads of a
+    single materialization (one fewer stage barrier + no second pass over
+    the text payload). The verified edge set is always a lazy cut (single
+    consumer: connected components — its blocks ride inside CC's first
+    convergence action), and the cluster count is taken from an
+    `Observation` on the final write (`stats["n_clusters"]`) instead of a
+    separate distinct-count job: every cluster's id equals the doc_id of
+    exactly one member row (component ids are min-node doc ids), so
+    sum(doc_id == cluster_id) == countDistinct(cluster_id) without the
+    DISTINCT that observed metrics disallow.
+
+    Returns the cluster table (url, doc_id, cluster_id) as a parquet scan;
+    `workdir` holds the parquet artifacts (auto-created on tmpfs when
+    None). With `cleanup` every intermediate parquet except the final
+    clusters is removed before returning; use `dedup_pages_scoped` to
+    bound the whole dir's lifetime explicitly. When `stats` is given it
+    receives n_clusters/n_docs computed during the final write."""
     import shutil
 
-    from ..runtime import scratch_cut
+    from pyspark.sql import Observation
 
+    from ..runtime import lazy_cut, scratch_cut
+
+    if cut_mode not in ("parquet", "lc"):
+        raise ValueError(f"unknown cut_mode {cut_mode!r}")
     c = config or DedupConfig()
-    own_workdir = workdir is None
-    if own_workdir:
+    lazy = cut_mode == "lc"
+    if workdir is None and not lazy:
         workdir = _fast_scratch_dir("frizbee_dedup_dag_")
+    registry: list = []
 
     def cut(df: DataFrame, name: str) -> DataFrame:
+        if lazy:
+            return lazy_cut(df, registry)
         return scratch_cut(df, name, workdir)
 
-    docs = cut(
-        extract_latest_per_url(pages).select(
-            "url", F.xxhash64("url").alias("doc_id"), "text", "lang"
-        ),
-        "docs",
-    )
-    sigs = cut(
+    combined = cut(
         minhash_signatures(
-            docs, text_col="text", id_col="doc_id",
-            shingle_k=c.shingle_k, num_perm=c.num_perm, seed=c.seed,
+            extract_latest_per_url(pages, persist_registry=registry).select(
+                "url", F.xxhash64("url").alias("doc_id"), "text", "lang"
+            ),
+            text_col="text",
+            id_col="doc_id",
+            shingle_k=c.shingle_k,
+            num_perm=c.num_perm,
+            seed=c.seed,
+            keep_cols=("url", "text", "lang"),
         ),
-        "sigs",
+        "docs_sigs",
     )
+    docs = combined.select("url", "doc_id", "text", "lang")
+    sigs = combined.select("doc_id", "signature")
     bands = lsh_bands(
         sigs, id_col="doc_id", num_bands=c.num_bands, num_perm=c.num_perm
     )
@@ -651,51 +704,85 @@ def dedup_pages_single_dag(
         id_col="doc_id",
         bucket_cap=c.bucket_cap,
         min_band_collisions=c.min_band_collisions,
-        scratch_dir=workdir,
+        scratch_dir=None if lazy else workdir,
+        persist_registry=registry if lazy else None,
+        lazy_checkpoint=lazy,
     )
     # no stage cut for `pairs`: it has exactly one consumer (the est join)
     # and its plan is already shallow (the salted member table inside
-    # candidate_pairs is the materialization point), so a parquet
-    # round-trip would only add barrier latency
-    verified = cut(
-        verify_pairs(pairs, docs, c, signatures=sigs, scratch_dir=workdir),
-        "verify",
+    # candidate_pairs is the materialization point), so a cut here would
+    # only add barrier latency
+    verified = verify_pairs(
+        pairs,
+        docs,
+        c,
+        signatures=sigs,
+        scratch_dir=None if lazy else workdir,
+        persist_registry=registry if lazy else None,
+        lazy_checkpoint=lazy,
     )
     # driver_threshold=0: the measured throughput path must never serialize
     # clustering through a driver loop — distributed star contraction only.
-    # input_materialized: `verified` is a parquet cut, so CC skips its
-    # defensive input checkpoint (one fewer barrier).
-    cc_registry: list = []
+    # input_materialized: the lazy edge cut is already a shallow LogicalRDD
+    # whose blocks materialize inside CC's first convergence action, so CC
+    # skips its defensive input checkpoint (one fewer barrier);
+    # rounds_per_check=2 halves the convergence-check job count (dup
+    # graphs are near-cliques that converge in 2-3 rounds).
+    edges = lazy_cut(verified.select("a", "b"), registry)
     components = connected_components(
         spark,
-        verified.select("a", "b"),
+        edges,
         driver_threshold=0,
         input_materialized=True,
-        persist_registry=cc_registry,
+        persist_registry=registry,
+        rounds_per_check=2,
     )
-    clusters = cut(
-        docs.join(
-            components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-        ).select(
-            "url", "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
-        ),
-        "clusters",
+    clusters_df = docs.join(
+        components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "url", "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
-    for cached in cc_registry:
+    obs = None
+    if stats is not None:
+        obs = Observation("cluster_stats")
+        clusters_df = clusters_df.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")),
+                F.lit(0),
+            ).alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    # the final output is always a parquet cut: callers consume it after
+    # this call released every block the lazy cuts retained
+    if workdir is None:
+        workdir = _fast_scratch_dir("frizbee_dedup_dag_")
+    clusters = scratch_cut(clusters_df, "clusters", workdir)
+    if obs is not None:
+        stats.update(obs.get)
+    for cached in registry:
         cached.unpersist()
     if cleanup:
-        for name in ("docs", "sigs", "salted", "est", "verify"):
+        for name in ("docs_sigs", "salted", "est"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
     return clusters
 
 
-def dedup_pages_scoped(spark: SparkSession, pages: DataFrame, config=None):
+def dedup_pages_scoped(
+    spark: SparkSession,
+    pages: DataFrame,
+    config=None,
+    stats: dict | None = None,
+    cut_mode: str = "parquet",
+):
     """Context manager around `dedup_pages_single_dag` that bounds the
     scratch workdir's lifetime: yields the cluster DataFrame and removes
     the WHOLE workdir (clusters parquet included) on exit — tmpfs scratch
     survives process death, so callers that loop (the scaling bench runs
     16 subprocess measurements) must reclaim it deterministically, not at
-    interpreter exit.
+    interpreter exit. `stats`/`cut_mode` pass through to
+    `dedup_pages_single_dag` (when `stats` is given, the cluster count is
+    already in it on entry — no extra action needed).
 
         with dedup_pages_scoped(spark, pages) as clusters:
             n = clusters.select("cluster_id").distinct().count()
@@ -709,7 +796,13 @@ def dedup_pages_scoped(spark: SparkSession, pages: DataFrame, config=None):
         workdir = fast_scratch_dir("frizbee_dedup_dag_")
         try:
             yield dedup_pages_single_dag(
-                spark, pages, config, workdir=workdir, cleanup=True
+                spark,
+                pages,
+                config,
+                workdir=workdir,
+                cleanup=True,
+                stats=stats,
+                cut_mode=cut_mode,
             )
         finally:
             release_scratch_dir(workdir)

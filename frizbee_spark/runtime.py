@@ -88,6 +88,38 @@ def _cleanup_scratch_dirs() -> None:  # pragma: no cover - exit hook
     _SCRATCH_DIRS.clear()
 
 
+class LocalCheckpointHandle:
+    """`unpersist()` frees a lazily-localCheckpointed DataFrame's blocks —
+    the RDD captured inside the plan's LogicalRDD node. DataFrame.
+    unpersist() cannot reach them (they are RDD-level storage, not
+    CacheManager entries), and leaving them to ContextCleaner means a
+    long-lived session retains the blocks until a GC happens to run."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def unpersist(self) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # pragma: no cover - defensive vs internals drift
+            pass
+
+
+def lazy_cut(df, persist_registry: list | None):
+    """Lazy localCheckpoint stage cut: swaps the LOGICAL plan for a shallow
+    LogicalRDD immediately (keeping downstream analysis O(1)-deep, like a
+    parquet cut) while deferring computation into the first downstream
+    action — zero extra driver jobs and no write-commit barrier. Blocks
+    live in executor storage (MEMORY_AND_DISK) with lineage truncated, so
+    this trades resumability for serial cost: the throughput path's
+    documented choice; the checkpointed production pipeline keeps parquet.
+    The block handle is appended to `persist_registry` when given."""
+    out = df.localCheckpoint(eager=False)
+    if persist_registry is not None:
+        persist_registry.append(LocalCheckpointHandle(out))
+    return out
+
+
 def scratch_cut(df, name: str, scratch_dir: str):
     """Materialize `df` to parquet under `scratch_dir` and return a shallow
     scan of it. A parquet stage-cut (unlike persist) truncates the LOGICAL

@@ -168,6 +168,87 @@ def test_dedup_pages_scoped_reclaims_workdir(spark):
     )
 
 
+def test_dedup_cut_modes_agree(spark):
+    """cut_mode='lc' (lazy localCheckpoint stage cuts, the throughput path)
+    must produce byte-identical cluster rows to cut_mode='parquet', the
+    Observation stats must equal the post-hoc distinct count, and neither
+    mode may leave persisted blocks behind."""
+    from frizbee_spark.pipeline.dedup_pipeline import dedup_pages_scoped
+    from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
+
+    pages = corpus_to_df(spark, generate_corpus(n_base=80, dup_rate=0.3, seed=11))
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    results = {}
+    for mode in ("parquet", "lc"):
+        stats: dict = {}
+        with dedup_pages_scoped(spark, pages, stats=stats, cut_mode=mode) as cl:
+            rows = sorted((r.doc_id, r.cluster_id) for r in cl.collect())
+        assert stats["n_docs"] == len(rows)
+        assert stats["n_clusters"] == len({c for _, c in rows})
+        results[mode] = rows
+    assert results["parquet"] == results["lc"]
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after <= cached_before
+
+
+def test_connected_components_rounds_per_check(spark):
+    """rounds_per_check=2 (the throughput path's halved convergence-check
+    cadence) must produce the identical assignment on a graph that needs
+    MANY star rounds — a long path graph has diameter >> 1, so convergence
+    genuinely spans several check batches."""
+    path_edges = [(i, i + 1) for i in range(40)]
+    rng = random.Random(23)
+    rand_edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (rng.sample(range(100, 160), 2) for _ in range(80))
+        }
+    )
+    df = spark.createDataFrame(path_edges + rand_edges, "a long, b long")
+    base = {
+        r.node: r.component
+        for r in connected_components(spark, df, driver_threshold=0).collect()
+    }
+    batched = {
+        r.node: r.component
+        for r in connected_components(
+            spark, df, driver_threshold=0, rounds_per_check=2
+        ).collect()
+    }
+    assert batched == base
+    # path graph must collapse to one component rooted at node 0
+    assert all(base[n] == 0 for n in range(41))
+
+
+def test_minhash_keep_cols_echo(spark):
+    """keep_cols must echo input columns through the Arrow pass unchanged
+    while leaving the signatures bit-identical to the plain call."""
+    from frizbee_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en", "u1"),
+         (2, "pack my box with five dozen jugs", "en", "u2"),
+         (3, None, "xx", "u3")],
+        "doc_id long, text string, lang string, url string",
+    )
+    plain = {
+        r.doc_id: tuple(r.signature)
+        for r in minhash_signatures(df, num_perm=16, shingle_k=3).collect()
+    }
+    kept = minhash_signatures(
+        df, num_perm=16, shingle_k=3, keep_cols=("url", "text", "lang")
+    ).collect()
+    assert {f.name for f in minhash_signatures(
+        df, num_perm=16, shingle_k=3, keep_cols=("url", "text", "lang")
+    ).schema.fields} == {"doc_id", "signature", "url", "text", "lang"}
+    src = {r.doc_id: r for r in df.collect()}
+    for r in kept:
+        assert tuple(r.signature) == plain[r.doc_id]
+        assert r.url == src[r.doc_id].url
+        assert r.text == src[r.doc_id].text
+        assert r.lang == src[r.doc_id].lang
+
+
 def test_star_round_sql_matches_column_form(spark):
     """_star_round (one spark.sql CTE per CC round) must be row-identical
     to the Column-built _small_star(_large_star(...)) specification."""

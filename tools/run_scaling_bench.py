@@ -148,17 +148,23 @@ def worker(cpus: int, corpus_path: str) -> None:
     minhash_signatures(warm, num_perm=8, shingle_k=5).count()
     from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
 
+    cut_mode = os.environ.get("SCALING_CUT_MODE", "lc")
     tiny = corpus_to_df(spark, generate_corpus(n_base=60, dup_rate=0.3, seed=5))
-    with dedup_pages_scoped(spark, tiny) as warm_clusters:
-        warm_clusters.select("cluster_id").distinct().count()
+    warm_stats: dict = {}
+    with dedup_pages_scoped(spark, tiny, stats=warm_stats, cut_mode=cut_mode):
+        pass
     n_docs = pages.count()
 
     start = time.perf_counter()
     # scoped: the scratch workdir (tmpfs) is reclaimed before the process
     # exits — 16 subprocess measurements leaking RAM-backed parquet would
-    # otherwise eat the host's memory across reps (ADVICE r3)
-    with dedup_pages_scoped(spark, pages) as clusters:
-        n_clusters = clusters.select("cluster_id").distinct().count()
+    # otherwise eat the host's memory across reps (ADVICE r3). The cluster
+    # count comes from the Observation on the final write (no separate
+    # distinct-count job — round-5 serial cut), and cut_mode="lc" runs the
+    # stage cuts as lazy localCheckpoints (no write-commit barriers).
+    stats: dict = {}
+    with dedup_pages_scoped(spark, pages, stats=stats, cut_mode=cut_mode):
+        n_clusters = int(stats["n_clusters"])
     wall = time.perf_counter() - start
     app_id = spark.sparkContext.applicationId
     spark.stop()
@@ -176,6 +182,60 @@ def worker(cpus: int, corpus_path: str) -> None:
     )
 
 
+def control_worker(cpus: int, n_rows: int) -> None:
+    """Pure-JVM control job (VERDICT r4 item 3): the same Spark execution
+    profile as the dedup job — whole-stage-codegen compute, a real
+    exchange, hash-aggregation memory churn — with ZERO Python workers.
+    Run at two parallelism levels it quantifies the host's >=8-busy-vCPU
+    steal/fault tax independently of the engine under test: if the control
+    pays the same high-level ceiling, the ceiling belongs to the host, not
+    to residual serial structure in the dedup code."""
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    spark = _build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    parts = cpus * 2
+
+    def job(n: int):
+        df = spark.range(0, n, 1, parts).select(
+            F.col("id"), F.xxhash64("id").alias("h")
+        )
+        # a chain of hashes keeps the stage compute-bound inside codegen
+        for _ in range(6):
+            df = df.select("id", F.xxhash64("h", "id").alias("h"))
+        # ~n/24 distinct keys: a real partial-agg + exchange + final agg —
+        # hash-map churn and shuffle IO like the engine's own stages
+        return (
+            df.groupBy(F.pmod(F.col("h"), F.lit(max(n // 24, 1))).alias("k"))
+            # pmod keeps the per-group sums far from long overflow under
+            # ANSI mode while still depending on every input hash
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.pmod(F.col("h"), F.lit(1_000_000_007))).alias("s"),
+            )
+            .agg(F.sum("c").alias("rows"), F.sum("s").alias("checksum"))
+            .collect()[0]
+        )
+
+    job(max(n_rows // 50, 1000))  # codegen warm-up, untimed
+    start = time.perf_counter()
+    row = job(n_rows)
+    wall = time.perf_counter() - start
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_rows": n_rows,
+                "checksum": int(row["checksum"]),
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_rows / wall, 2),
+            }
+        )
+    )
+
+
 def ensure_corpus() -> None:
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
@@ -187,6 +247,74 @@ def ensure_corpus() -> None:
     pages = generate_pages_distributed(spark, n_base=N_BASE, seed=1234, partitions=64)
     pages.write.mode("overwrite").parquet(CORPUS)
     spark.stop()
+
+
+def run_control_subprocess(cpus: int, n_rows: int) -> dict:
+    cmd = [sys.executable, __file__, "--control-worker", str(cpus), str(n_rows)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"control worker local[{cpus}] failed:\n{proc.stderr[-4000:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def control_campaign() -> None:
+    """Interleaved pure-JVM control campaign (VERDICT r4 item 3): same
+    protocol as the dedup campaign (interleaved low/high, taskset-pinned
+    subprocesses, median pair efficiency) but zero Python workers. Prints
+    one JSON line; paste the numbers into BENCH/HISTORY.md."""
+    pairs_spec = os.environ.get("SCALING_PAIRS", "4:16,2:8")
+    pairs_cfg = [
+        tuple(int(x) for x in p.split(":")) for p in pairs_spec.split(",") if p
+    ]
+    reps = int(os.environ.get("SCALING_REPS", "5"))
+    n_rows = int(os.environ.get("SCALING_CONTROL_ROWS", "400000000"))
+    runs: dict[tuple[int, int], list[tuple[dict, dict]]] = {p: [] for p in pairs_cfg}
+    for rep in range(reps):
+        for low_cpus, high_cpus in pairs_cfg:
+            lo = run_control_subprocess(low_cpus, n_rows)
+            hi = run_control_subprocess(high_cpus, n_rows)
+            runs[(low_cpus, high_cpus)].append((lo, hi))
+            print(
+                json.dumps(
+                    {
+                        "control_rep": rep + 1,
+                        "pair": f"{low_cpus}->{high_cpus}",
+                        "low_wall": lo["wall_sec"],
+                        "high_wall": hi["wall_sec"],
+                        "pair_eff": round(_pair_eff(lo, hi), 3),
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+    out = {
+        "control": True,
+        "n_rows": n_rows,
+        "pairs": [
+            {
+                "low_cpus": p[0],
+                "high_cpus": p[1],
+                "median_eff": round(
+                    statistics.median(_pair_eff(lo, hi) for lo, hi in r), 3
+                ),
+                "effs": sorted(round(_pair_eff(lo, hi), 3) for lo, hi in r),
+                "reps": [
+                    {
+                        "low_wall": lo["wall_sec"],
+                        "high_wall": hi["wall_sec"],
+                        "pair_eff": round(_pair_eff(lo, hi), 3),
+                    }
+                    for lo, hi in r
+                ],
+            }
+            for p, r in runs.items()
+        ],
+    }
+    print(json.dumps(out))
 
 
 def run_subprocess(cpus: int) -> dict:
@@ -383,5 +511,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--control-worker":
+        control_worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--control":
+        control_campaign()
     else:
         main()
