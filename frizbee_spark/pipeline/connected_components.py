@@ -250,8 +250,12 @@ def connected_components(
         # into full upstream recomputes. localCheckpoint = parallel
         # materialization + lineage cut (no driver barrier).
         cur = cur.localCheckpoint()
+        if persist_registry is not None:
+            persist_registry.append(_LocalCheckpointHandle(cur))
     if persisted is not None:
         cur = cur.localCheckpoint()
+        if persist_registry is not None:
+            persist_registry.append(_LocalCheckpointHandle(cur))
         persisted.unpersist()
         persisted = None
 

@@ -440,11 +440,12 @@ def verify_pairs(
         .mapInArrow(_est_batches, "a long, b long, est double")
     )
     if lazy_checkpoint and persist_registry is not None:
-        # zero-job stage cut: est's blocks materialize inside the first
-        # downstream action (see runtime.lazy_cut) — the throughput path
+        # eager: est feeds TWO consumers (accepted_est + middle) — a
+        # deferred cut would make their tasks race the block write lock
+        # (see runtime.lazy_cut); one barrier-free materialization job
         from ..runtime import lazy_cut
 
-        est = lazy_cut(est, persist_registry)
+        est = lazy_cut(est, persist_registry, eager=True)
     elif scratch_dir is None and persist_registry is None:
         # shared per-process dir, overwritten by the next registry-less
         # call — bounds tmpfs retention to one copy (ADVICE r4)
@@ -676,8 +677,11 @@ def dedup_pages_single_dag(
     registry: list = []
 
     def cut(df: DataFrame, name: str) -> DataFrame:
+        # eager: every cut here has multiple downstream consumers (docs +
+        # sigs read the combined cut; see runtime.lazy_cut on why deferred
+        # multi-consumer cuts serialize on the block write lock)
         if lazy:
-            return lazy_cut(df, registry)
+            return lazy_cut(df, registry, eager=True)
         return scratch_cut(df, name, workdir)
 
     combined = cut(
@@ -723,12 +727,13 @@ def dedup_pages_single_dag(
     )
     # driver_threshold=0: the measured throughput path must never serialize
     # clustering through a driver loop — distributed star contraction only.
-    # input_materialized: the lazy edge cut is already a shallow LogicalRDD
-    # whose blocks materialize inside CC's first convergence action, so CC
-    # skips its defensive input checkpoint (one fewer barrier);
-    # rounds_per_check=2 halves the convergence-check job count (dup
-    # graphs are near-cliques that converge in 2-3 rounds).
-    edges = lazy_cut(verified.select("a", "b"), registry)
+    # input_materialized: the edge cut is already a shallow LogicalRDD, so
+    # CC skips its defensive input checkpoint (one fewer barrier); eager
+    # because every star round scans the edge set through TWO branches
+    # (the both-directions union) in one job. rounds_per_check=2 halves
+    # the convergence-check job count (dup graphs are near-cliques that
+    # converge in 2-3 rounds).
+    edges = lazy_cut(verified.select("a", "b"), registry, eager=True)
     components = connected_components(
         spark,
         edges,
@@ -736,6 +741,16 @@ def dedup_pages_single_dag(
         input_materialized=True,
         persist_registry=registry,
         rounds_per_check=2,
+        # AQE stays ON for the CC rounds even though its per-exchange
+        # query-stage jobs are a measured few-second serial tail: it is
+        # also what COALESCES the star rounds' tiny shuffles and REUSES
+        # the duplicated CTE subtrees across chained rounds. Both
+        # alternatives were measured worse on this host (event logs,
+        # BENCH/HISTORY.md round 5): AQE-off at session width = a
+        # per-task scheduling tail of mostly-empty tasks; AQE-off with
+        # few partitions = static ReuseExchange fails to dedupe the
+        # chained-round subtrees and the batch plan explodes to ~40
+        # stages per action.
     )
     clusters_df = docs.join(
         components.withColumnRenamed("node", "doc_id"), "doc_id", "left"

@@ -105,16 +105,28 @@ class LocalCheckpointHandle:
             pass
 
 
-def lazy_cut(df, persist_registry: list | None):
-    """Lazy localCheckpoint stage cut: swaps the LOGICAL plan for a shallow
+def lazy_cut(df, persist_registry: list | None, eager: bool = False):
+    """localCheckpoint stage cut: swaps the LOGICAL plan for a shallow
     LogicalRDD immediately (keeping downstream analysis O(1)-deep, like a
-    parquet cut) while deferring computation into the first downstream
-    action — zero extra driver jobs and no write-commit barrier. Blocks
-    live in executor storage (MEMORY_AND_DISK) with lineage truncated, so
-    this trades resumability for serial cost: the throughput path's
-    documented choice; the checkpointed production pipeline keeps parquet.
-    The block handle is appended to `persist_registry` when given."""
-    out = df.localCheckpoint(eager=False)
+    parquet cut) with no write-commit barrier or parquet encode/decode.
+    Blocks live in executor storage (MEMORY_AND_DISK) with lineage
+    truncated, so this trades resumability for serial cost: the throughput
+    path's documented choice; the checkpointed production pipeline keeps
+    parquet.
+
+    `eager` matters whenever the cut has MORE THAN ONE downstream consumer
+    inside a single job: a lazy (deferred) cut's blocks are computed under
+    the block manager's per-block write lock by whichever task gets there
+    first, and every OTHER branch's task BLOCKS on that lock while holding
+    its task slot — measured at ~18% stage CPU utilization when the salted
+    self-join's two branches raced a deferred cut. `eager=True` runs one
+    materialization job up front at full parallelism (still cheaper than a
+    parquet cut: no commit barrier, no encode/decode, no re-scan); keep
+    `eager=False` only for cuts whose first consuming action reads them
+    through a single branch (e.g. a stats aggregation that doubles as the
+    materializer). The block handle is appended to `persist_registry`
+    when given."""
+    out = df.localCheckpoint(eager=eager)
     if persist_registry is not None:
         persist_registry.append(LocalCheckpointHandle(out))
     return out

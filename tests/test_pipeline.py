@@ -44,13 +44,18 @@ def test_connected_components_vs_union_find(spark, tmp_path):
     df = spark.createDataFrame(edges, ["a", "b"])
     want = _union_find_clusters(edges, nodes)
     touched = {n for e in edges for n in e}
-    # distributed star-contraction path
+    # distributed star-contraction path (registry so the defensive input
+    # checkpoint's blocks are reclaimed, not left to ContextCleaner GC)
+    reg: list = []
     got = {
         r.node: r.component
         for r in connected_components(
-            spark, df, str(tmp_path / "cc"), driver_threshold=0
+            spark, df, str(tmp_path / "cc"), driver_threshold=0,
+            persist_registry=reg,
         ).collect()
     }
+    for h in reg:
+        h.unpersist()
     for n in touched:
         assert got[n] == want[n], n
     # driver union-find fast path must produce the identical assignment
@@ -205,16 +210,24 @@ def test_connected_components_rounds_per_check(spark):
         }
     )
     df = spark.createDataFrame(path_edges + rand_edges, "a long, b long")
+    # registry + unpersist: without it the distributed path's per-round
+    # localCheckpoint blocks linger until ContextCleaner GC and pollute
+    # later tests' zero-retained-RDD assertions
+    reg: list = []
     base = {
         r.node: r.component
-        for r in connected_components(spark, df, driver_threshold=0).collect()
+        for r in connected_components(
+            spark, df, driver_threshold=0, persist_registry=reg
+        ).collect()
     }
     batched = {
         r.node: r.component
         for r in connected_components(
-            spark, df, driver_threshold=0, rounds_per_check=2
+            spark, df, driver_threshold=0, rounds_per_check=2, persist_registry=reg
         ).collect()
     }
+    for h in reg:
+        h.unpersist()
     assert batched == base
     # path graph must collapse to one component rooted at node 0
     assert all(base[n] == 0 for n in range(41))

@@ -148,7 +148,12 @@ def worker(cpus: int, corpus_path: str) -> None:
     minhash_signatures(warm, num_perm=8, shingle_k=5).count()
     from frizbee_spark.pipeline.webpages import corpus_to_df, generate_corpus
 
-    cut_mode = os.environ.get("SCALING_CUT_MODE", "lc")
+    # parquet, not localCheckpoint: measured head-to-head (event logs,
+    # BENCH/HISTORY.md round 5), zstd parquet stage cuts on tmpfs beat
+    # eager localCheckpoint blocks on this host (uncompressed row blocks
+    # are ~1.3x the task time to store and their scans lose column
+    # pruning on the fused docs+sigs cut)
+    cut_mode = os.environ.get("SCALING_CUT_MODE", "parquet")
     tiny = corpus_to_df(spark, generate_corpus(n_base=60, dup_rate=0.3, seed=5))
     warm_stats: dict = {}
     with dedup_pages_scoped(spark, tiny, stats=warm_stats, cut_mode=cut_mode):
