@@ -309,6 +309,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_multi_pattern"] = match_multi_pattern
 
+    def match_fuzzy_long(spark, sf):
+        # repeat(text, 5) pushes most haystacks past 1024 bytes, so the
+        # kernel's greedy fallback path (not just the banded SW) runs
+        # driver-green; the golden pin applies the identical repeat to the
+        # scalar oracle (tools/gen_query_golden.py::golden_match_long)
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr("repeat(text, 5)").alias("text")
+        )
+        return match_list(docs, "spark join", Config(max_typos=1))
+
+    q["match_fuzzy_long"] = match_fuzzy_long
+
+    def match_fuzzy_unicode(spark, sf):
+        # vowels -> umlauts on haystacks AND needle: the unicode SW arm
+        # (kernel.py UnicodeKernel, not the ASCII fast path) runs
+        # driver-green; the golden applies the identical translate to the
+        # scalar oracle (tools/gen_query_golden.py::golden_match_unicode)
+        docs = _docs(spark, sf).select(
+            "doc_id", F.translate("text", "aeiou", "äëïöü").alias("text")
+        )
+        return match_list(docs, "spärk jöïn", Config(max_typos=1))
+
+    q["match_fuzzy_unicode"] = match_fuzzy_unicode
+
+    def match_sort_strategies(spark, sf):
+        # all four SortStrategy orderings, each made hash-visible as a
+        # rank column (the driver's canonicalizer sorts rows before
+        # hashing, so bare row order cannot be checked). The global
+        # single-partition window is deliberate and correctness-scale
+        # only: it PINS the operator's ordering contract; the operator's
+        # own ordered sort (a distributed range sort) is the scale path.
+        from pyspark.sql import Window
+
+        from frizbee_spark.core.config import SortStrategy
+        from frizbee_spark.operators.match_list import _order_columns
+
+        parts = []
+        for strat in SortStrategy:
+            cfg = Config(max_typos=1, sort=strat)
+            ranked = match_list(_docs(spark, sf), "spark join", cfg).withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(*_order_columns(cfg, "doc_id"))),
+            )
+            parts.append(ranked.withColumn("strategy", F.lit(strat.value)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("strategy", "rank", "doc_id", "score", "exact")
+
+    q["match_sort_strategies"] = match_sort_strategies
+
     def match_indices(spark, sf):
         docs = _docs(spark, sf).where(F.col("doc_id") < 100)
         out = match_list_indices(docs, "spark join", Config(max_typos=0))
@@ -484,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
         "match_fuzzy_no_prefilter",
         "match_multi_pattern",
         "match_indices",
+        "match_fuzzy_long",
+        "match_fuzzy_unicode",
+        "match_sort_strategies",
         "simhash_fingerprints",
         "minhash_lsh_pairs",
         "substring_dedup",

@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
-mapInPandas signatures) is real and tested; the actual codec work is
-STUBBED behind `DecoderNotAvailable` / deterministic fakes because the
-image/audio libraries are not in this container. A real deployment swaps
-`_decode_image_stub` for PIL/libvips inside the same mapInPandas contract.
+mapInPandas signatures) is real and tested. Image decode is REAL for the
+formats `functions/imagecodec.py` covers (8-bit PNG via stdlib zlib, all
+five scanline filters; binary PPM/PGM) — no external codec needed.
+Formats beyond that (JPEG, 16-bit/palette PNG, audio, video) fall back
+to a deterministic fake or raise `DecoderNotAvailable`, because their
+codec libraries are not in this container; a real deployment swaps
+`_decode_image` for PIL/libvips inside the same mapInPandas contract.
 
 Scale notes: binary payloads ride in their own column so Parquet column
 pruning skips them unless the stage needs bytes; `maxRecordsPerBatch`
@@ -76,24 +79,39 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         "mime_sniffed",
         F.when(hex_prefix.startswith("FFD8"), F.lit("image/jpeg"))
         .when(hex_prefix == "89504E47", F.lit("image/png"))
+        .when(hex_prefix.startswith("5036"), F.lit("image/x-portable-pixmap"))
+        .when(hex_prefix.startswith("5035"), F.lit("image/x-portable-graymap"))
         .when(hex_prefix.startswith("52494646"), F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream")),
     )
 
 
-def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """STUB decode: the container has no image codec. With
-    `deterministic_fake` the payload bytes seed a fake 8x8 grayscale
-    'image' so downstream shape/partition logic is exercised end-to-end."""
-    if not deterministic_fake:
-        raise DecoderNotAvailable(
-            "image decoding requires PIL/libvips; not available in this container"
-        )
-    arr = np.frombuffer(payload[:4096], dtype=np.uint8)
-    if len(arr) == 0:
-        arr = np.zeros(1, dtype=np.uint8)
-    reps = -(-64 // len(arr))
-    return np.tile(arr, reps)[:64].reshape(8, 8).astype(np.float32)
+def _decode_image(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    """Decode -> (H, W) float32 grayscale. REAL decode for PNG/PPM/PGM
+    (pure-Python codec, `functions/imagecodec.py`); other formats fall
+    back to a payload-seeded fake 8x8 'image' when `deterministic_fake`
+    (so shape/partition logic still runs end-to-end on e.g. JPEG columns
+    in this codec-less container) or raise `DecoderNotAvailable`."""
+    from ..functions.imagecodec import UnsupportedImage, decode_image
+
+    try:
+        img = decode_image(payload)
+    except UnsupportedImage:
+        if not deterministic_fake:
+            raise DecoderNotAvailable(
+                "payload is not PNG/PPM and JPEG/audio/video codecs are "
+                "not available in this container"
+            ) from None
+        arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+        if len(arr) == 0:
+            arr = np.zeros(1, dtype=np.uint8)
+        reps = -(-64 // len(arr))
+        return np.tile(arr, reps)[:64].reshape(8, 8).astype(np.float32)
+    # luminance: ITU-R BT.601 weights for RGB(A); alpha ignored
+    img = img.astype(np.float32)
+    if img.shape[2] >= 3:
+        return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    return img[:, :, 0]
 
 
 def decode_and_featurize(
@@ -119,7 +137,7 @@ def decode_and_featurize(
                 p = counts / max(1, counts.sum())
                 nz = p[p > 0]
                 entropy = float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0
-                img = _decode_image_stub(payload, deterministic_fake)
+                img = _decode_image(payload, deterministic_fake)
                 pooled = np.resize(img.mean(axis=0), feature_dim).astype(np.float32)
                 ids.append(media_id)
                 n_bytes.append(len(payload))

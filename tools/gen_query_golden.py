@@ -92,6 +92,62 @@ def golden_match_indices(docs: pd.DataFrame, needle: str, config: Config) -> pd.
     )
 
 
+def golden_match_long(docs: pd.DataFrame, needle: str, config: Config) -> pd.DataFrame:
+    """Greedy->1024B-path golden: haystacks are repeat(text, 5), pushing
+    most docs past the 1024-byte banded-kernel limit so the scalar
+    oracle's greedy fallback (core/oracle.py, mirroring the reference's
+    >1024B arm) produces the pin the Spark kernel must match."""
+    long_docs = docs.assign(
+        text=[None if t is None else t * 5 for t in docs["text"]]
+    )
+    return golden_match(long_docs, needle, config)
+
+
+_UMLAUT = str.maketrans("aeiou", "äëïöü")
+
+
+def golden_match_unicode(docs: pd.DataFrame, needle: str, config: Config) -> pd.DataFrame:
+    """Unicode-SW-arm golden: vowels become umlauts on BOTH the haystacks
+    (translate) and the needle (callers pass a translated needle), so the
+    scalar oracle's unicode scoring path — not the ASCII fast path —
+    produces the pin."""
+    uni_docs = docs.assign(
+        text=[None if t is None else t.translate(_UMLAUT) for t in docs["text"]]
+    )
+    return golden_match(uni_docs, needle, config)
+
+
+_STRATEGY_KEYS = {
+    "score_then_index_asc": lambda r: (-r[1], r[0]),
+    "score_then_index_desc": lambda r: (-r[1], -r[0]),
+    "index_asc": lambda r: r[0],
+    "index_desc": lambda r: -r[0],
+}
+
+
+def golden_sort_strategies(docs: pd.DataFrame, needle: str, config: Config) -> pd.DataFrame:
+    """All four SortStrategy orderings over one match result, each row
+    carrying its 1-based rank — the ordering made hash-visible as DATA
+    (the driver's canonicalizer sorts rows, so bare orderings vanish)."""
+    base = golden_match(docs, needle, config)
+    rows = list(zip(base["doc_id"], base["score"], base["exact"]))
+    frames = []
+    for strategy, key in _STRATEGY_KEYS.items():
+        ordered = sorted(rows, key=key)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "strategy": pd.array([strategy] * len(ordered), dtype="str"),
+                    "rank": pd.array(range(1, len(ordered) + 1), dtype="int32"),
+                    "doc_id": pd.array([r[0] for r in ordered], dtype="int64"),
+                    "score": pd.array([r[1] for r in ordered], dtype="int32"),
+                    "exact": pd.array([r[2] for r in ordered], dtype="bool"),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def doc_shingles(text: str, k: int = 5) -> np.ndarray:
     data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
     return np.unique(H.hash_shingles(data, k))
@@ -187,6 +243,13 @@ def main() -> None:
             docs, "spark !window", Config(max_typos=1), query=True
         ),
         "match_indices": golden_match_indices(docs, "spark join", Config(max_typos=0)),
+        "match_fuzzy_long": golden_match_long(docs, "spark join", Config(max_typos=1)),
+        "match_fuzzy_unicode": golden_match_unicode(
+            docs, "spärk jöïn", Config(max_typos=1)
+        ),
+        "match_sort_strategies": golden_sort_strategies(
+            docs, "spark join", Config(max_typos=1)
+        ),
         "simhash_fingerprints": golden_simhash(docs),
         "minhash_lsh_pairs": golden_minhash_lsh_pairs(docs),
         "substring_dedup": golden_substring_dedup(docs),
