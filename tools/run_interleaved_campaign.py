@@ -84,7 +84,10 @@ def main() -> None:
         "consistent": all(s["consistent"] for s in summaries),
         "pairs": summaries,
     }
-    (REPO / "BENCH" / "scaling_campaign2.json").write_text(json.dumps(camp, indent=1))
+    camp_out = os.environ.get(
+        "SCALING_CAMPAIGN_OUT", "BENCH/scaling_campaign2.json"
+    )
+    (REPO / camp_out).write_text(json.dumps(camp, indent=1))
     control_out = {
         "control": True,
         "n_rows": n_rows,
@@ -108,9 +111,10 @@ def main() -> None:
             for p, r in control_runs.items()
         ],
     }
-    (REPO / "BENCH" / "control_interleaved.json").write_text(
-        json.dumps(control_out, indent=1)
+    control_path = os.environ.get(
+        "SCALING_CONTROL_OUT", "BENCH/control_interleaved.json"
     )
+    (REPO / control_path).write_text(json.dumps(control_out, indent=1))
     print(json.dumps({"dedup": camp["pairs"], "control": control_out["pairs"]}))
 
 
