@@ -13,12 +13,15 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frizbee_spark.core.config import Config
 from frizbee_spark.operators.dedup import (
     candidate_pairs,
+    embedding_cosine_pairs,
     exact_duplicates,
     lsh_bands,
     minhash_signatures,
@@ -31,7 +34,7 @@ from frizbee_spark.operators.match_list import (
     match_query,
 )
 from frizbee_spark.operators.substring_dedup import substring_dedup_pairs
-from frizbee_spark.operators.similarity import brute_force_top_k
+from frizbee_spark.operators.similarity import brute_force_top_k, ivf_top_k
 from frizbee_spark.operators.text import (
     with_lang_guess,
     with_quality_signals,
@@ -293,6 +296,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_brute_force"] = ann_brute_force
 
+    def ann_ivf(spark, sf):
+        # IVF with nprobe == n_centroids probes every list, so the result
+        # is EXACTLY brute force (each vector lives in one list) — the
+        # plain-SQL brute-force ranking is therefore a true oracle for
+        # the whole train/assign/probe/score plumbing. Recall at
+        # nprobe < n_centroids is pytest-covered (tests/test_operators.py).
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_top_k(
+            emb, queries_df, dim=64, k=5, n_centroids=8, nprobe=8
+        ).select("query_id", "vec_id", "rank")
+
+    q["ann_ivf"] = ann_ivf
+
+    def embedding_cosine(spark, sf):
+        # candidate pairs over a 40-vector slice; the operator's JVM
+        # zip_with/aggregate dot product vs DuckDB's list_cosine_similarity
+        # (3-decimal emission: nearest value sits 4.4e-5 from a rounding
+        # boundary at sf0.01, orders of magnitude beyond cross-engine
+        # float drift)
+        emb = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .where(F.col("vec_id") < 40)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        )
+        pairs = (
+            emb.select(F.col("vec_id").alias("a"))
+            .crossJoin(emb.select(F.col("vec_id").alias("b")))
+            .where(F.col("a") < F.col("b"))
+        )
+        return (
+            embedding_cosine_pairs(emb, pairs)
+            .where(F.col("cosine") >= 0.2)
+            .select("a", "b", F.round("cosine", 3).alias("cosine3"))
+        )
+
+    q["embedding_cosine_pairs"] = embedding_cosine
+
+    # --- multimodal: REAL WAV decode under the driver oracle ---
+    def audio_decode_meta(spark, sf):
+        # synthesize a canonical WAV per document (n_chars frames at
+        # 1 kHz, channel count varying by doc parity), then REAL-decode it
+        # with featurize_audio (deterministic_fake=False: a decode failure
+        # fails the query, no silent fallback). The emitted columns are
+        # exactly the integers the WAV framing determines, so DuckDB can
+        # derive them from the documents table alone.
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from frizbee_spark.operators.multimodal import featurize_audio
+
+        @pandas_udf(BinaryType())
+        def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from frizbee_spark.functions.audiocodec import encode_wav
+
+            return pd.Series(
+                [
+                    encode_wav(np.zeros((int(n), 1 + int(i) % 2)), 1000)
+                    for i, n in zip(doc_id, n_chars)
+                ]
+            )
+
+        media = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where("doc_id < 300 AND n_chars >= 1")
+            .select(
+                F.col("doc_id").alias("media_id"),
+                synth("doc_id", "n_chars").alias("payload"),
+            )
+        )
+        return featurize_audio(media, deterministic_fake=False).select(
+            "media_id", "sample_rate", "n_frames", "n_channels", "duration_ms"
+        )
+
+    q["audio_decode_meta"] = audio_decode_meta
+
+    # --- multimodal: video frame-sampling fan-out under the driver oracle ---
+    def video_frame_slices(spark, sf):
+        # byte-slice "frames" over an ASCII-sanitized text payload: the
+        # mapInPandas one-row-to-many fan-out is the real video contract;
+        # frames decode back to strings so DuckDB can check content via
+        # substring arithmetic.
+        from frizbee_spark.operators.multimodal import sample_video_frames
+
+        media = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where("doc_id < 200")
+            .select(
+                F.col("doc_id").alias("media_id"),
+                F.encode(
+                    F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^ -~]", ""),
+                    "UTF-8",
+                ).alias("payload"),
+            )
+        )
+        return sample_video_frames(media, every_n_bytes=256, max_frames=4).select(
+            "media_id",
+            "frame_idx",
+            F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+        )
+
+    q["video_frame_slices"] = video_frame_slices
+
     # --- the frizbee kernel itself (non-SQL; rows-only driver check) ---
     def match_fuzzy(spark, sf):
         return match_list(_docs(spark, sf), "spark join", Config(max_typos=1))
@@ -506,6 +616,53 @@ def oracle_sql() -> dict[str, str]:
                        ) AS jaccard
                 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "embedding_cosine_pairs": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40
+            )
+            SELECT a, b, cosine3 FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 6), 3) AS cosine3,
+                       round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 6) AS c6
+                FROM e x JOIN e y ON x.vec_id < y.vec_id
+            ) WHERE c6 >= 0.2
+        """,
+        "audio_decode_meta": """
+            SELECT doc_id AS media_id,
+                   1000 AS sample_rate,
+                   n_chars AS n_frames,
+                   CAST(1 + (doc_id % 2) AS INT) AS n_channels,
+                   n_chars AS duration_ms
+            FROM documents WHERE doc_id < 300 AND n_chars >= 1
+        """,
+        "video_frame_slices": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS s
+                FROM documents WHERE doc_id < 200
+            ),
+            n AS (
+                SELECT doc_id, s,
+                       least(4, greatest(1, length(s) // 256)) AS nf
+                FROM d
+            )
+            SELECT doc_id AS media_id,
+                   CAST(j AS INT) AS frame_idx,
+                   substring(s, CAST(j * 256 + 1 AS INT), 256) AS frame_text
+            FROM n, generate_series(0, 3) AS t(j) WHERE j < nf
+        """,
+        "ann_ivf": """
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM embeddings e, embeddings q
+                WHERE q.vec_id >= 3 AND q.vec_id < 6
+            ) WHERE rank <= 5
         """,
         "ann_brute_force": """
             SELECT query_id, vec_id, rank FROM (

@@ -4,11 +4,13 @@ columns with typed metadata.
 The Spark-side plumbing (schemas, Arrow batch shapes, partition sizing,
 mapInPandas signatures) is real and tested. Image decode is REAL for the
 formats `functions/imagecodec.py` covers (8-bit PNG via stdlib zlib, all
-five scanline filters; binary PPM/PGM) — no external codec needed.
-Formats beyond that (JPEG, 16-bit/palette PNG, audio, video) fall back
-to a deterministic fake or raise `DecoderNotAvailable`, because their
-codec libraries are not in this container; a real deployment swaps
-`_decode_image` for PIL/libvips inside the same mapInPandas contract.
+five scanline filters; binary PPM/PGM) and audio decode is REAL for
+canonical RIFF/WAVE PCM + IEEE-float (`functions/audiocodec.py`) — no
+external codec needed for either. Formats beyond those (JPEG,
+16-bit/palette PNG, MP3/OGG, video) fall back to a deterministic fake or
+raise `DecoderNotAvailable`, because their codec libraries are not in
+this container; a real deployment swaps `_decode_image` / the WAV decode
+for PIL/libvips/soundfile inside the same mapInPandas contract.
 
 Scale notes: binary payloads ride in their own column so Parquet column
 pruning skips them unless the stage needs bytes; `maxRecordsPerBatch`
@@ -40,6 +42,7 @@ __all__ = [
     "DecoderNotAvailable",
     "attach_media_metadata",
     "decode_and_featurize",
+    "featurize_audio",
     "sample_video_frames",
 ]
 
@@ -153,6 +156,98 @@ def decode_and_featurize(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zero_crossing_rate", FloatType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def featurize_audio(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    feature_dim: int = 16,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas REAL audio decode -> features: duration, RMS level,
+    zero-crossing rate, and a `feature_dim`-band temporal RMS envelope.
+
+    Decode is real for canonical RIFF/WAVE PCM + IEEE-float payloads
+    (`functions/audiocodec.py`, numpy only — no external audio libs).
+    Non-WAV payloads (MP3/OGG/FLAC, whose codecs this container lacks)
+    fall back to a payload-seeded fake signal when `deterministic_fake`
+    (so partition/batch plumbing still runs end-to-end), else raise
+    `DecoderNotAvailable`. A real deployment swaps the decode call for
+    soundfile/librosa inside the same mapInPandas contract.
+
+    Scale notes: same blob rules as images — payload rides its own
+    pruned column, and `spark.sql.execution.arrow.maxRecordsPerBatch`
+    should be lowered on tables with MB-scale audio so Arrow batches
+    stay within executor memory."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import UnsupportedAudio, decode_wav
+
+        for batch in batches:
+            rows: dict[str, list] = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "n_channels": [],
+                "duration_ms": [],
+                "rms": [],
+                "zero_crossing_rate": [],
+                "feature": [],
+            }
+            for media_id, payload in zip(batch[id_col], batch[payload_col]):
+                payload = payload or b""
+                try:
+                    samples, sr = decode_wav(payload)
+                except UnsupportedAudio:
+                    if not deterministic_fake:
+                        raise DecoderNotAvailable(
+                            "payload is not canonical WAV and no other "
+                            "audio codec is available in this container"
+                        ) from None
+                    raw = np.frombuffer(payload[:4096], dtype=np.uint8)
+                    if len(raw) == 0:
+                        raw = np.zeros(64, dtype=np.uint8)
+                    samples = ((raw.astype(np.float32) - 128.0) / 128.0)[:, None]
+                    sr = 8000
+                mono = samples.mean(axis=1) if samples.shape[1] else np.zeros(0)
+                rms = float(np.sqrt(np.mean(np.square(mono)))) if len(mono) else 0.0
+                zcr = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(1, len(mono) - 1)
+                    if len(mono) > 1
+                    else 0.0
+                )
+                # temporal RMS envelope: feature_dim equal windows
+                edges = np.linspace(0, len(mono), feature_dim + 1, dtype=np.int64)
+                sq = np.concatenate(([0.0], np.cumsum(np.square(mono, dtype=np.float64))))
+                win = np.maximum(1, np.diff(edges))
+                envelope = np.sqrt(np.diff(sq[edges]) / win).astype(np.float32)
+                rows["media_id"].append(media_id)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(len(samples))
+                rows["n_channels"].append(samples.shape[1])
+                rows["duration_ms"].append(int(round(1000.0 * len(mono) / sr)))
+                rows["rms"].append(rms)
+                rows["zero_crossing_rate"].append(zcr)
+                rows["feature"].append(envelope.tolist())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(process, AUDIO_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -22,7 +22,9 @@ from frizbee_spark.operators.multimodal import (
 )
 from frizbee_spark.operators.similarity import (
     brute_force_top_k,
+    ivf_top_k,
     lsh_bucketed_top_k,
+    train_ivf_centroids,
 )
 
 pytestmark = pytest.mark.spark
@@ -130,6 +132,56 @@ def test_lsh_bucketed_top_k_recall(spark):
     approx_top = {r.query_id: r.vec_id for r in approx if r.rank == 1}
     # the query itself is always in its own bucket -> top-1 is the query
     assert exact_top == approx_top
+
+
+def test_ivf_exact_when_all_lists_probed(spark):
+    """nprobe == n_centroids probes every inverted list, so IVF must equal
+    brute force row-for-row (each vector belongs to exactly one list)."""
+    emb, _ = _random_embeddings(spark, n=200)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_top_k(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_top_k(
+            emb, queries, dim=16, k=5, n_centroids=6, nprobe=6
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_recall_at_low_nprobe(spark):
+    """Probing a fraction of the lists keeps most of the true top-k: the
+    query's own vector always lands in a probed list (its assignment
+    centroid is its nearest, which is probe #1), so top-1 recall is 1.0;
+    top-5 recall stays well above the nprobe/n_centroids mass fraction."""
+    emb, _ = _random_embeddings(spark, n=300)
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, dim=16, n_centroids=8)
+    assert cents.shape == (8, 16)
+    exact = brute_force_top_k(emb, queries, k=5).collect()
+    approx = ivf_top_k(
+        emb, queries, dim=16, k=5, n_centroids=8, nprobe=3, centroids=cents
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    approx_top1 = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        if r.rank == 1:
+            approx_top1[r.query_id] = r.vec_id
+    assert all(approx_top1[q] == q for q in range(6))  # self is rank 1
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in range(6))
+    recall = hits / sum(len(exact_sets[q]) for q in range(6))
+    assert recall >= 0.6, recall
 
 
 def test_multimodal_metadata_and_features(spark):

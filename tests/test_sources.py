@@ -49,3 +49,66 @@ def test_write_and_read_web_pages(spark, tmp_path):
     row = back.collect()[0]
     assert row.url == "u1" and row.text == "body text"
     assert bytes(row.html) == b"<html/>"
+
+
+def test_spark_submit_pyfiles_smoke(tmp_path):
+    """The cluster-deploy artifact works for real: build the --py-files
+    zip, then run a minimal dedup job through an actual `spark-submit`
+    in a fresh JVM that imports frizbee_spark ONLY from the zip."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from make_pyfiles_zip import build
+
+    zip_path = build(tmp_path / "frizbee_spark.zip")
+    job = tmp_path / "job.py"
+    job.write_text(
+        """
+import sys
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import frizbee_spark
+assert "frizbee_spark.zip" in frizbee_spark.__file__, frizbee_spark.__file__
+from frizbee_spark.operators.dedup import exact_duplicates
+
+df = spark.createDataFrame(
+    [(0, "the same text"), (1, "the same text"), (2, "different")],
+    ["doc_id", "text"],
+)
+groups = exact_duplicates(df).collect()
+assert len(groups) == 1, groups
+assert groups[0].canonical_id == 0 and groups[0].n_dups == 2, groups
+print("PYFILES_OK")
+spark.stop()
+"""
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--py-files",
+            str(zip_path),
+            "--conf",
+            "spark.jars.ivy=/tmp/.ivy_empty",
+            str(job),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),  # not the repo: frizbee_spark/ must not be on sys.path
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "PYFILES_OK" in proc.stdout, proc.stdout[-2000:]
