@@ -82,9 +82,19 @@ def _build_spark(cpus: int):
         # heap is a steady stream of exactly those. 12g (not 48g) keeps
         # the pre-touch quick and the GC scan set small; the job's real
         # footprint at the measured scale is ~4g.
+        # ParallelGCThreads = leg cores: the default (ncpus-derived, ~23 on
+        # this 32-vCPU guest) is wrong for a taskset-pinned N-core worker
+        # twice over — a real N-core executor JVM sizes GC threads to N,
+        # and 23 threads pre-touching the heap from 2 pinned cores
+        # serialize on guest-kernel page-table locks (measured this
+        # session: -Xms8g -XX:+AlwaysPreTouch -version on 2 cores = 66s+
+        # wall / 8+ CPU-MINUTES of sys with default threads, 17s with
+        # ParallelGCThreads=2, when the host fault path is degraded)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SCALING_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+            f"-Xms{os.environ.get('SCALING_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch"
+            f" -XX:ParallelGCThreads={max(2, cpus)}"
+            f" -XX:ConcGCThreads={max(1, cpus // 4)}",
         )
         # shuffle/spill files on tmpfs: a cluster executor's local SSD
         # stand-in — this VM's /tmp sits on slow virtio disk, which
