@@ -93,8 +93,12 @@ def _build_spark(cpus: int):
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('SCALING_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch"
-            f" -XX:ParallelGCThreads={max(2, cpus)}"
-            f" -XX:ConcGCThreads={max(1, cpus // 4)}",
+            + (
+                f" -XX:ParallelGCThreads={max(2, cpus)}"
+                f" -XX:ConcGCThreads={max(1, cpus // 4)}"
+                if os.environ.get("SCALING_GC_THREADS", "cores") == "cores"
+                else ""
+            ),
         )
         # shuffle/spill files on tmpfs: a cluster executor's local SSD
         # stand-in — this VM's /tmp sits on slow virtio disk, which
