@@ -34,7 +34,11 @@ from frizbee_spark.operators.match_list import (
     match_query,
 )
 from frizbee_spark.operators.substring_dedup import substring_dedup_pairs
-from frizbee_spark.operators.similarity import brute_force_top_k, ivf_top_k
+from frizbee_spark.operators.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_bucketed_top_k,
+)
 from frizbee_spark.operators.text import (
     with_lang_guess,
     with_quality_signals,
@@ -312,6 +316,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = ann_ivf
 
+    def ann_lsh_bucketed(spark, sf):
+        # hyperplane-LSH blocking with plan-time-constant planes
+        # (RandomState(7), the operator's deterministic seed): the oracle
+        # re-derives the same planes and inlines them as SQL constants, so
+        # DuckDB reproduces bucket assignment AND in-bucket ranking
+        # exactly. Sign-flip safety: the smallest |dot| over all
+        # (vector, plane) pairs at sf0.01 is 1.2e-4 — nine orders beyond
+        # double-vs-double drift.
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_bucketed_top_k(
+            emb, queries_df, dim=64, k=5, n_planes=8, seed=7
+        ).select("query_id", "vec_id", "rank")
+
+    q["ann_lsh_bucketed"] = ann_lsh_bucketed
+
     def embedding_cosine(spark, sf):
         # candidate pairs over a 40-vector slice; the operator's JVM
         # zip_with/aggregate dot product vs DuckDB's list_cosine_similarity
@@ -498,6 +520,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _lsh_oracle_sql() -> str:
+    """Re-derive the operator's deterministic hyperplanes (RandomState(7),
+    same as `hyperplane_buckets`) and inline them as SQL constants so
+    DuckDB reproduces bucket assignment and in-bucket ranking exactly."""
+    import numpy as np
+
+    planes = np.random.RandomState(7).standard_normal((8, 64))
+    terms = []
+    for p in range(8):
+        arr = ", ".join(repr(float(c)) for c in planes[p])
+        terms.append(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{arr}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n                     + ".join(terms)
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bucket} AS bucket
+            FROM embeddings
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC
+                   ) AS rank
+            FROM b e JOIN b q ON e.bucket = q.bucket AND q.vec_id < 8
+        ) WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "doc_length_filter": """
@@ -652,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
                    substring(s, CAST(j * 256 + 1 AS INT), 256) AS frame_text
             FROM n, generate_series(0, 3) AS t(j) WHERE j < nf
         """,
+        "ann_lsh_bucketed": _lsh_oracle_sql(),
         "ann_ivf": """
             SELECT query_id, vec_id, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
