@@ -96,17 +96,46 @@ def lsh_bucketed_top_k(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 7,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: score only embeddings in the query's hyperplane
-    bucket. Equi-join on the bucket key co-locates candidates; recall
-    improves with fewer planes or multi-probe."""
+    bucket(s). Equi-join on the bucket key co-locates candidates.
+
+    Multi-probe (`n_probes` > 1): each query also probes the buckets that
+    differ in the sign bit of its LOWEST-|projection| planes — the planes
+    the query sits closest to, i.e. the flips most likely to hide true
+    neighbors (Lv et al., "Multi-Probe LSH", VLDB'07 — public algorithm).
+    Probe selection is an array_sort over plan-time-constant projection
+    structs + a bucket XOR — still zero UDF, and the probe side stays
+    (queries x n_probes) rows, broadcast. This buys recall without
+    re-hashing or extra shuffles of the big side."""
     e_b = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
-    q_b = hyperplane_buckets(
-        queries.select(query_id_col, vec_col), dim, n_planes, seed, query_id_col, vec_col
-    ).select(query_id_col, F.col(vec_col).alias("qvec"), "bucket")
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q0 = queries.select(query_id_col, F.col(vec_col).alias("qvec"))
+    bucket = F.lit(0)
+    prox = []
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        proj = _dot(F.col("qvec"), coeffs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        prox.append(F.struct(F.abs(proj).alias("absproj"), F.lit(p).alias("p")))
+    n_probes = max(1, min(int(n_probes), n_planes + 1))
+    # probe list: own bucket first, then flips of the closest planes
+    flips = F.transform(
+        F.slice(F.array_sort(F.array(*prox)), 1, n_probes - 1),
+        lambda s: F.pow(F.lit(2.0), s["p"]).cast("long"),
+    )
+    probe_buckets = F.concat(
+        F.array(bucket.cast("long")),
+        F.transform(flips, lambda m: m.bitwiseXOR(bucket.cast("long"))),
+    )
+    q_b = q0.withColumn("bucket", F.explode(probe_buckets))
+
     joined = e_b.join(F.broadcast(q_b), "bucket")
     scored = joined.select(
         query_id_col,

@@ -134,6 +134,37 @@ def test_lsh_bucketed_top_k_recall(spark):
     assert exact_top == approx_top
 
 
+def test_lsh_multi_probe_improves_recall(spark):
+    """Multi-probe LSH: probing the nearest-plane flip buckets recovers
+    neighbors a single bucket misses; full probing (own bucket + all
+    n_planes flips still != exhaustive, so compare as recall) is
+    monotone in n_probes and top-1 stays the query itself."""
+    emb, _ = _random_embeddings(spark, n=300)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_sets = {}
+    for r in brute_force_top_k(emb, queries, k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(n_probes):
+        got = {}
+        top1 = {}
+        for r in lsh_bucketed_top_k(
+            emb, queries, dim=16, k=5, n_planes=6, n_probes=n_probes
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+            if r.rank == 1:
+                top1[r.query_id] = r.vec_id
+        assert all(top1[q] == q for q in range(8))
+        hits = sum(len(exact_sets[q] & got.get(q, set())) for q in range(8))
+        return hits / sum(len(exact_sets[q]) for q in range(8))
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, (r1, r4)  # deterministic fixture: 0.35 -> 0.45
+    assert r4 >= 0.4, (r1, r4)
+
+
 def test_ivf_exact_when_all_lists_probed(spark):
     """nprobe == n_centroids probes every inverted list, so IVF must equal
     brute force row-for-row (each vector belongs to exactly one list)."""

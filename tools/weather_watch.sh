@@ -28,14 +28,15 @@ while true; do
         good_streak=0
         echo "$now probe bad (rc=$rc secs=${secs:-timeout})" >> "$LOG"
     fi
-    if [ "$good_streak" -ge 2 ]; then
-        echo "$now launching campaign 5" >> "$LOG"
-        SCALING_CAMPAIGN_OUT=BENCH/scaling_campaign5.json \
-        SCALING_CONTROL_OUT=BENCH/control_interleaved5.json \
-        SCALING_PAIRS=2:8 SCALING_REPS=6 \
+    if [ "$good_streak" -ge ${WATCH_STREAK:-2} ]; then
+        N=${CAMPAIGN_N:-5}
+        echo "$now launching campaign $N" >> "$LOG"
+        SCALING_CAMPAIGN_OUT=BENCH/scaling_campaign$N.json \
+        SCALING_CONTROL_OUT=BENCH/control_interleaved$N.json \
+        SCALING_PAIRS=2:8 SCALING_REPS=${CAMPAIGN_REPS:-6} \
             python tools/run_interleaved_campaign.py \
-            > /tmp/campaign5.out 2> /tmp/campaign5.log
-        echo "$(date -u +%H:%M:%S) campaign 5 exited rc=$?" >> "$LOG"
+            > /tmp/campaign$N.out 2> /tmp/campaign$N.log
+        echo "$(date -u +%H:%M:%S) campaign $N exited rc=$?" >> "$LOG"
         exit 0
     fi
     sleep 60
