@@ -98,3 +98,68 @@ def test_match_query_survivor_refinement(spark, sf_dir):
     # ...and the first pattern's matched-filter sits between them (plans
     # print top-down: upper eval, then the filter feeding it, then lower)
     assert any(evals[0] < f < evals[1] for f in match_filters), plan
+
+
+def test_ann_plans_stay_jvm_side(spark, sf_dir):
+    """The whole ANN family (brute/LSH/IVF) and embedding-cosine pairs
+    must plan with ZERO Python eval nodes — centroids/planes are folded
+    into JVM expressions; a Python node here would put every vector
+    through Arrow serialization at 100 TB."""
+    from frizbee_spark.operators.dedup import embedding_cosine_pairs
+    from frizbee_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_top_k,
+        lsh_bucketed_top_k,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+
+    plans = {
+        "brute": plan_of(brute_force_top_k(emb, queries, k=3)),
+        "lsh": plan_of(
+            lsh_bucketed_top_k(emb, queries, dim=64, k=3, n_planes=6, n_probes=3)
+        ),
+        "ivf": plan_of(
+            ivf_top_k(emb, queries, dim=64, k=3, n_centroids=4, nprobe=2)
+        ),
+        "cosine_pairs": plan_of(embedding_cosine_pairs(emb, pairs)),
+    }
+    for name, plan in plans.items():
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+    # the small probe/query side broadcasts; the big side never does
+    for name in ("brute", "lsh", "ivf"):
+        assert "BroadcastExchange" in plans[name], name
+
+
+def test_multimodal_plans_prune_payload_and_use_arrow(spark, tmp_path):
+    """Multimodal decode stages: only (media_id, payload) reach the
+    parquet scan feeding the mapInPandas decode — kind/mime/width etc.
+    are pruned — and the decode itself is an Arrow mapInPandas node,
+    the one place Python is the right tool."""
+    from frizbee_spark.operators.multimodal import (
+        decode_and_featurize,
+        featurize_audio,
+        sample_video_frames,
+    )
+
+    src = spark.createDataFrame(
+        [(0, "image", b"x", "m", 1, 1, 1)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    path = str(tmp_path / "media.parquet")
+    src.write.parquet(path)
+    df = spark.read.parquet(path)
+    for fn in (decode_and_featurize, featurize_audio, sample_video_frames):
+        plan = plan_of(fn(df))
+        assert "MapInPandas" in plan, fn.__name__
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "media_id" in read_schema and "payload" in read_schema
+        assert "kind" not in read_schema and "mime" not in read_schema, (
+            fn.__name__,
+            read_schema,
+        )
