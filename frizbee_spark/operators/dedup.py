@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions import hashing as H
+from ..runtime import ensure_min_partitions
 
 __all__ = [
     "exact_duplicates",
@@ -41,6 +42,9 @@ def exact_duplicates(
     """Exact duplicate groups via normalized-text fingerprint. Returns
     (fingerprint, canonical_id, n_dups) for groups with >1 member."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # the normalize+hash projection is the map-side cost; run it at full
+    # width even when the input is one unsplittable file (no-op at scale)
+    df = ensure_min_partitions(df)
     return (
         df.select(F.col(id_col), F.xxhash64(normalized).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -142,7 +146,10 @@ def minhash_signatures(
             )
 
     in_cols = [id_col, text_col] + [c for c in keep_cols if c != text_col]
-    return df.select(*in_cols).mapInArrow(_batches, out_schema)
+    # full-width Python stage for small unsplittable scans (no-op at scale)
+    return ensure_min_partitions(df.select(*in_cols)).mapInArrow(
+        _batches, out_schema
+    )
 
 
 def _string_buffers(texts, np, pa, copy: bool = True):
@@ -268,7 +275,6 @@ def candidate_pairs(
     long-lived session."""
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
-    sampled = sizes.where(F.col("bucket_size") > hard_cap)
 
     member = bands.join(sizes.where(F.col("bucket_size") > 1), key)
     # deterministic salt in [0, g): stable across runs and cluster sizes
@@ -320,6 +326,15 @@ def candidate_pairs(
             salted = salted.persist()
             persist_registry.append(salted)
             salted.count()  # eager fill: both self-join branches must hit the cache
+    # over-hard_cap bucket lineage comes from the already-materialized
+    # salted cut (one row per member, bucket_size constant within a
+    # bucket), not from the `sizes` subtree — consuming `sampled` would
+    # otherwise re-run the whole bands aggregation as a separate job
+    sampled = (
+        salted.where(F.col("bucket_size") > hard_cap)
+        .groupBy(*key)
+        .agg(F.max("bucket_size").alias("bucket_size"))
+    )
     # left side replicates each member to every salt group >= its own
     # (full pairing) while over-hard_cap buckets stay within-salt (sampled);
     # ordering of ids inside a pair is normalized afterwards (least/greatest)
@@ -400,7 +415,10 @@ def simhash_values(
                 [ids, pa.array(out)], [id_col, "simhash"]
             )
 
-    return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
+    # full-width Python stage for small unsplittable scans (no-op at scale)
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInArrow(
+        _batches, out_schema
+    )
 
 
 def simhash_candidate_pairs(
@@ -484,7 +502,9 @@ def ngram_jaccard_pairs(
             out.append(np.unique(H.hash_shingles(data, shingle_k)).astype(np.int64))
         return pd.Series(out)
 
-    sh = df.select(F.col(id_col), _shingles(F.col(text_col)).alias("sh"))
+    sh = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col), _shingles(F.col(text_col)).alias("sh")
+    )
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     # hash-join with the slim pairs side as build; never broadcast or sort

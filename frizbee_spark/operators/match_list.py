@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..core.config import Config, SortStrategy
 from ..core.pattern import Pattern
+from ..runtime import ensure_min_partitions
 from ..udfs import fuzzy_match_indices_udf, fuzzy_match_udf
 
 __all__ = ["match_list", "match_list_indices", "match_query"]
@@ -56,6 +57,12 @@ def match_list(
         if min_len > 0:
             out = out.where(F.octet_length(F.col(text_col)) >= F.lit(min_len))
 
+    # spread an unsplittable small scan across the session's cores before
+    # the per-row Python stage (no-op for at-scale inputs — see
+    # runtime.ensure_min_partitions): the SW kernel is the cost center and
+    # must run at full width, not at the scan's file/row-group width
+    out = ensure_min_partitions(out)
+
     udf = fuzzy_match_udf(needle, config, with_end_col=with_end_col)
     projection = [
         F.col(index_col),
@@ -88,7 +95,7 @@ def match_list_indices(
     config = config or Config()
     udf = fuzzy_match_indices_udf(needle, config)
     out = (
-        df.select(index_col, text_col)
+        ensure_min_partitions(df.select(index_col, text_col))
         .withColumn("m", udf(F.col(text_col)))
         .where(F.col("m.matched"))
         .select(
@@ -171,6 +178,9 @@ def match_query(
     # barriers between them — N Arrow serializations of the text column
     # and N python-runner stage ramps for the same kernel work.
     from ..udfs import multi_pattern_match_udf
+
+    # full-width Python stage for small unsplittable scans (see match_list)
+    out = ensure_min_partitions(out)
 
     triples = [
         (p.needle, p.config.resolve(config), p.negated) for p in patterns

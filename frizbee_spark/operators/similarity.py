@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..runtime import ensure_min_partitions
+
 __all__ = [
     "brute_force_top_k",
     "lsh_bucketed_top_k",
@@ -53,7 +55,10 @@ def brute_force_top_k(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("qvec")
     )
-    joined = embeddings.crossJoin(F.broadcast(q))
+    # the cosine projection under the broadcast join inherits the big
+    # side's scan partitioning — spread an unsplittable small file across
+    # the cores (no-op for at-scale inputs)
+    joined = ensure_min_partitions(embeddings).crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col,
         id_col,
@@ -112,7 +117,11 @@ def lsh_bucketed_top_k(
     structs + a bucket XOR — still zero UDF, and the probe side stays
     (queries x n_probes) rows, broadcast. This buys recall without
     re-hashing or extra shuffles of the big side."""
-    e_b = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    # full-width bucket hashing for small unsplittable scans (no-op at
+    # scale, where the scan itself is wide)
+    e_b = hyperplane_buckets(
+        ensure_min_partitions(embeddings), dim, n_planes, seed, id_col, vec_col
+    )
 
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -239,7 +248,9 @@ def ivf_top_k(
     cents = centroids if centroids is not None else train_ivf_centroids(
         embeddings, dim, n_centroids, seed=seed, vec_col=vec_col
     )
-    e_a = ivf_assign(embeddings, cents, id_col, vec_col)
+    # NOTE: the training sample above reads the ORIGINAL frame (its row
+    # order feeds centroid init); only the assignment/probe side is spread
+    e_a = ivf_assign(ensure_min_partitions(embeddings), cents, id_col, vec_col)
 
     q_arr = _centroid_cosines(F.col("qvec"), cents)
     # nprobe nearest centroids: sort desc by (cos, idx), slice, project idx

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..runtime import ensure_min_partitions
+
 __all__ = [
     "with_token_count",
     "with_quality_signals",
@@ -34,6 +36,9 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality scoring signals."""
+    # three regexp passes per row: run them at full width even when the
+    # input is one unsplittable file (no-op for at-scale scans)
+    df = ensure_min_partitions(df)
     text = F.col(text_col)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))

@@ -160,7 +160,10 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
     to star contraction, no iteration shuffles — but it serializes the
     clustering through one Python loop, so the threshold is kept low and the
     scaling/throughput bench path always takes the distributed route."""
-    rows = edges.select("a", "b").collect()
+    return _union_find_rows(spark, edges.select("a", "b").collect())
+
+
+def _union_find_rows(spark: SparkSession, rows) -> DataFrame:
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -238,8 +241,14 @@ def connected_components(
     persisted = None
     if driver_threshold > 0:
         persisted = cur = cur.persist()
-        if cur.count() <= driver_threshold:
-            out = _driver_union_find(spark, cur)
+        # ONE action decides the route AND fetches the rows the union-find
+        # needs: take(threshold + 1) short-circuits once it has proof the
+        # graph is big, and below the threshold the rows are already on the
+        # driver — the previous count()-then-collect() pair cost two full
+        # scheduled jobs for the common small-graph case
+        head = cur.take(driver_threshold + 1)
+        if len(head) <= driver_threshold:
+            out = _union_find_rows(spark, head)
             persisted.unpersist()
             return out
 

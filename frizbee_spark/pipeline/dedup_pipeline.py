@@ -97,21 +97,56 @@ class DedupPipeline:
         path = self._path(stage)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        self._record_lineage(stage, out)
+        self._record_lineage(stage)
         return out
 
     def _read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(stage))
 
-    def _record_lineage(self, stage: str, df: DataFrame) -> None:
-        """Per-partition row counters for the stage output."""
-        counts = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("stage", F.lit(stage))
-            .select("stage", "partition_id", "rows")
+    def _record_lineage(self, stage: str) -> None:
+        """Per-partition row counters for the stage output, read from the
+        just-written parquet FOOTERS on the driver — the counts already
+        exist in file metadata, so recomputing them with a Spark job
+        (a full groupBy + append-write per stage, two scheduled jobs ~0.5s
+        each on this host) was pure fixed overhead (guide §1.2: remove
+        work, then tune). partition_id is the writer task's file index."""
+        import glob
+        import re
+
+        import pyarrow.parquet as pq
+
+        stages, pids, rows = [], [], []
+        for path in sorted(glob.glob(os.path.join(self._path(stage), "part-*"))):
+            m = re.match(r"part-(\d+)", os.path.basename(path))
+            if m is None:
+                continue
+            stages.append(stage)
+            pids.append(int(m.group(1)))
+            rows.append(pq.ParquetFile(path).metadata.num_rows)
+        self._append_lineage(stages, pids, rows)
+
+    def _append_lineage(
+        self, stages: list[str], pids: list[int], rows: list[int]
+    ) -> None:
+        """One small driver-side parquet file per append (same schema the
+        Spark writer produced: stage string, partition_id int, rows long)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lineage_dir = os.path.join(self.workdir, "_lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        table = pa.table(
+            {
+                "stage": pa.array(stages, pa.string()),
+                "partition_id": pa.array(pids, pa.int32()),
+                "rows": pa.array(rows, pa.int64()),
+            }
         )
-        counts.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        pq.write_table(
+            table, os.path.join(lineage_dir, f"part-{uuid.uuid4().hex}.parquet")
+        )
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "_lineage"))
@@ -121,7 +156,16 @@ class DedupPipeline:
     def _stage_extract(self, pages: DataFrame) -> DataFrame:
         """Text extraction: byte-identical `text` per url (input invariant);
         latest capture wins per url (extract_latest_per_url)."""
-        return extract_latest_per_url(pages).select(
+        from ..runtime import ensure_min_partitions
+
+        # full-width extraction for small unsplittable scans (no-op at
+        # scale); the registry dedupes the recaptured-url computation
+        # across the auto count and the two broadcast builds
+        pages = ensure_min_partitions(pages)
+        self._extract_registry: list = []
+        return extract_latest_per_url(
+            pages, persist_registry=self._extract_registry
+        ).select(
             "url",
             F.xxhash64("url").alias("doc_id"),
             "text",
@@ -170,11 +214,10 @@ class DedupPipeline:
         return pairs
 
     def _record_scalars(self, items: list[tuple[str, int]]) -> None:
-        rows = [(name, -1, value) for name, value in items]
-        self.spark.createDataFrame(
-            rows, ["stage", "partition_id", "rows"]
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(self.workdir, "_lineage")
+        self._append_lineage(
+            [name for name, _ in items],
+            [-1] * len(items),
+            [int(value) for _, value in items],
         )
 
     def _stage_verify(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
@@ -227,6 +270,9 @@ class DedupPipeline:
             if pages is None:
                 raise ValueError("extract stage needs the input pages DataFrame")
             self._write("extract", self._stage_extract(pages))
+            for cached in getattr(self, "_extract_registry", []):
+                cached.unpersist()
+            self._extract_registry = []
         if stop_after == "extract":
             return None
         docs = self._read("extract")

@@ -31,6 +31,78 @@ def apply_allocator_env(builder):
     return builder
 
 
+def _scan_units(df, cap: int) -> int | None:
+    """Best-effort count of the parallel units the plan's file scans can
+    produce, capped at `cap` (early exit). Parquet's split granularity is
+    the ROW GROUP: a byte-range split that contains no row-group start is
+    an empty partition, so a single-row-group file can only ever be read
+    by one task no matter what `spark.sql.files.maxPartitionBytes` says.
+    Returns None when the plan reads no files (in-memory input) or the
+    files cannot be inspected locally — callers treat None as "don't
+    touch". Driver-side metadata only: no Spark job, no py4j plan walk."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive vs plan internals
+        return None
+    if not files:
+        return None
+    if len(files) >= cap:
+        return cap
+    units = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        if not os.path.isfile(path):
+            # non-local storage: at real scale the file COUNT alone decides
+            # (handled above); a handful of remote files stays untouched
+            return None
+        if path.endswith((".parquet", ".parq")):
+            try:
+                import pyarrow.parquet as pq
+
+                units += max(1, pq.ParquetFile(path).metadata.num_row_groups)
+            except Exception:
+                units += 1
+        else:
+            # splittable-by-bytes formats (text/csv/json): one unit per
+            # 128MB (the default maxPartitionBytes) is close enough for a
+            # below-cap decision
+            units += max(1, os.path.getsize(path) // (128 << 20))
+        if units >= cap:
+            return cap
+    return units
+
+
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Round-robin repartition a narrow input up to the session's default
+    parallelism — a no-op whenever the underlying scan can already produce
+    that many partitions.
+
+    Why (optimization guide §2.4/§6): per-row Python stages (Arrow UDFs,
+    mapInArrow) downstream of a file scan inherit the SCAN's partitioning.
+    A small table written as one file with one parquet row group is
+    unsplittable, so the whole Python stage runs on ONE core of the
+    cluster. One small round-robin exchange of the (already column-pruned)
+    rows costs bytes proportional to the slim projection and buys a
+    full-width Python stage. The decision is scale-adaptive, not a local
+    tuning constant: it reads row-group counts from the scan's file
+    footers (driver-side metadata, no job), and any input with >=
+    `min_partitions` files or row groups — i.e. every real at-scale scan —
+    passes through untouched, so no payload shuffle is ever added to a
+    big input. Non-file inputs (createDataFrame, post-shuffle plans) are
+    also left untouched."""
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    units = _scan_units(df, min_partitions)
+    if units is None or units >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 #: scratch dirs created by this process that still need removal at exit —
 #: tmpfs files (unlike memory) survive process death, so every auto-created
 #: scratch dir is registered here and removed by the atexit hook below.

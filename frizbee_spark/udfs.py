@@ -63,7 +63,14 @@ def fuzzy_match_udf(
             }
         )
 
-    return _match
+    # nondeterministic marker (optimization guide §4.4): the caller filters
+    # on the UDF's `matched` field and projects its score/exact fields, and
+    # the optimizer's pushed-down filter otherwise DUPLICATES the UDF —
+    # one ArrowEvalPython below the filter and a second one re-scoring every
+    # surviving row for the projection (observed in the round-6 before
+    # plans). The marker forbids the copy, yielding a single eval per row;
+    # the kernel is a pure function, so no semantics change.
+    return _match.asNondeterministic()
 
 
 def fuzzy_match_indices_udf(needle: str, config: Config | None = None):
@@ -102,7 +109,8 @@ def fuzzy_match_indices_udf(needle: str, config: Config | None = None):
             {"matched": matched, "score": scores, "exact": exacts, "indices": indices}
         )
 
-    return _match
+    # see fuzzy_match_udf: forbid the optimizer's filter/projection UDF copy
+    return _match.asNondeterministic()
 
 
 def multi_pattern_match_udf(patterns, config: Config | None = None):
@@ -173,7 +181,8 @@ def multi_pattern_match_udf(patterns, config: Config | None = None):
             }
         )
 
-    return _match
+    # see fuzzy_match_udf: forbid the optimizer's filter/projection UDF copy
+    return _match.asNondeterministic()
 
 
 def score_pairs_udf(config: Config | None = None):

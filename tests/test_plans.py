@@ -79,10 +79,12 @@ def test_predicate_pushdown_reaches_parquet(spark, sf_dir):
     assert "l_quantity" in pushed
 
 
-def test_match_query_survivor_refinement(spark, sf_dir):
-    """multi.rs:84-152: pattern i+1's UDF must consume the FILTERED output
-    of pattern i, never the full row set — the plan alternates
-    ArrowEvalPython and Filter instead of stacking all UDFs up front."""
+def test_match_query_single_fused_eval(spark, sf_dir):
+    """multi.rs:84-152 is ONE fused Arrow pass (survivor refinement via
+    numpy masks INSIDE the UDF), and the nondeterministic marker keeps the
+    optimizer from duplicating that eval for the matched-filter
+    (optimization guide §4.4) — the round-5 plans carried TWO
+    ArrowEvalPython nodes, re-scoring every surviving row."""
     from frizbee_spark.operators.match_list import match_query
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -93,11 +95,25 @@ def test_match_query_survivor_refinement(spark, sf_dir):
     match_filters = [
         i for i, l in enumerate(lines) if "Filter" in l and ".matched" in l
     ]
-    # each pattern gets its OWN eval (no batched multi-UDF projection)...
-    assert len(evals) == 2, plan
-    # ...and the first pattern's matched-filter sits between them (plans
-    # print top-down: upper eval, then the filter feeding it, then lower)
-    assert any(evals[0] < f < evals[1] for f in match_filters), plan
+    # exactly one eval for the whole multi-pattern query...
+    assert len(evals) == 1, plan
+    # ...with the matched-filter consuming it from above (plans print
+    # top-down, so the filter's line precedes the eval's)
+    assert any(f < evals[0] for f in match_filters), plan
+
+
+def test_match_list_single_eval_and_full_width(spark, sf_dir):
+    """Two round-6 plan properties of the single-pattern path: (1) the
+    nondeterministic marker leaves exactly ONE ArrowEvalPython (no
+    filter/projection duplication — guide §4.4); (2) an unsplittable
+    single-row-group scan is spread across the session's cores before the
+    per-row Python stage (runtime.ensure_min_partitions), so the kernel
+    never runs at file width."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = match_list(docs, "spark join", Config(max_typos=1))
+    plan = plan_of(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "RoundRobinPartitioning" in plan, plan
 
 
 def test_ann_plans_stay_jvm_side(spark, sf_dir):
