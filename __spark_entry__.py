@@ -161,7 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def latest_event_per_user(spark, sf):
         from pyspark.sql import Window
 
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from frizbee_spark.runtime import ensure_min_partitions
+
+        # spread the (often single-row-group) events scan so the window's
+        # shuffle map side runs at full width; no-op for at-scale inputs
+        ev = ensure_min_partitions(spark.read.parquet(f"{sf}/events.parquet"))
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
         )

@@ -222,6 +222,21 @@ def lsh_bands(
     )
 
 
+def _has_python_stage(df: DataFrame) -> bool:
+    """True when the frame's plan contains a Python eval stage (mapInArrow /
+    mapInPandas / pandas UDF) — i.e. evaluating the frame from two
+    consumers would run that stage twice. Driver-side plan inspection only
+    (optimizer run, no job)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - defensive vs plan internals
+        return False
+    return any(
+        marker in plan
+        for marker in ("MapInArrow", "MapInPandas", "ArrowEval", "PythonUDF")
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     id_col: str = "doc_id",
@@ -274,6 +289,32 @@ def candidate_pairs(
     persist, which round 2/3 showed taxes every subsequent query in a
     long-lived session."""
     key = ["band_id", "band_hash"]
+    # `bands` feeds TWO consumers (the bucket-size aggregation and the
+    # member join). When its plan still contains a Python stage (the
+    # MinHash mapInArrow — e.g. a caller that chains signatures -> bands ->
+    # pairs without a stage checkpoint in between), each consumer would
+    # re-run that stage over the full corpus: cut it once first. Plans that
+    # are already shallow scans (the checkpointed pipeline, the single-DAG
+    # path's combined cut) skip this — re-scanning a columnar file twice is
+    # cheaper than an extra materialization of the band table.
+    if _has_python_stage(bands):
+        if lazy_checkpoint and persist_registry is not None:
+            from ..runtime import lazy_cut
+
+            bands = lazy_cut(bands, persist_registry, eager=True)
+        else:
+            if scratch_dir is None and persist_registry is None:
+                from ..runtime import shared_scratch_dir
+
+                scratch_dir = shared_scratch_dir("pairs_scratch")
+            if scratch_dir is not None:
+                from ..runtime import scratch_cut
+
+                bands = scratch_cut(bands, "bands_cut", scratch_dir)
+            else:
+                bands = bands.persist()
+                persist_registry.append(bands)
+                bands.count()
     sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("bucket_size"))
 
     member = bands.join(sizes.where(F.col("bucket_size") > 1), key)

@@ -238,16 +238,21 @@ class DedupPipeline:
 
     def _stage_clusters(self, docs: DataFrame, components: DataFrame) -> DataFrame:
         """Final table: (url, doc_id, cluster_id, is_canonical, text). Docs
-        without any verified edge form singleton clusters."""
-        assigned = docs.join(
-            components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-        ).withColumn("cluster_id", F.coalesce("component", "doc_id"))
-        canonical = assigned.groupBy("cluster_id").agg(
-            F.min("doc_id").alias("_canon")
-        )
+        without any verified edge form singleton clusters.
+
+        is_canonical needs no aggregation: connected_components' contract
+        is component == MIN node id of the component, and that node is
+        itself a member, so min(doc_id) over a cluster always equals the
+        cluster_id — `doc_id == cluster_id` replaces the round-5
+        groupBy(min) + join-back (two exchanges and a join per run; the
+        single-DAG path already relies on the same identity for its
+        Observation-based cluster count)."""
         return (
-            assigned.join(canonical, "cluster_id")
-            .withColumn("is_canonical", F.col("doc_id") == F.col("_canon"))
+            docs.join(
+                components.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+            )
+            .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
             .select("url", "doc_id", "cluster_id", "is_canonical", "lang", "text")
         )
 
@@ -366,12 +371,19 @@ def extract_latest_per_url(
     if persist_registry is not None:
         recaptured = recaptured.persist()
         persist_registry.append(recaptured)
-    if recapture_strategy == "auto" and recaptured.count() > broadcast_threshold:
-        return (
-            pages.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    if recapture_strategy == "auto":
+        n_recaptured = recaptured.count()
+        if n_recaptured == 0:
+            # snapshot corpus, no url captured twice: latest-wins is the
+            # identity, so skip the anti-join/window/union machinery
+            # entirely (its ~4 plan stages were pure fixed cost here)
+            return pages
+        if n_recaptured > broadcast_threshold:
+            return (
+                pages.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
     singles = pages.join(F.broadcast(recaptured), "url", "left_anti")
     latest_dups = (
         pages.join(F.broadcast(recaptured), "url", "left_semi")
