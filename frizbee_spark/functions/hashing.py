@@ -312,27 +312,39 @@ def simhash_docs_stream(
         h_c = np.ascontiguousarray(h_u)
         if sys.byteorder != "little":  # pragma: no cover
             h_c = h_c.byteswap()
-        bits = np.unpackbits(
-            h_c.view(np.uint8).reshape(len(h_c), 8), axis=1, bitorder="little"
-        )
-        # reduceat needs a wider accumulator than uint8; stage the bits in a
-        # REUSED int32 scratch (a fresh (m, 64) int64 per chunk is ~16MB of
-        # first-touch faults per batch — this host's documented trap)
-        wide = buf("sim_bits", bits.size, dtype=np.int32)[: bits.size].reshape(
-            bits.shape
-        )
-        np.copyto(wide, bits)
-        counts = np.add.reduceat(wide, seg_starts, axis=0)
+        # per-bit majorities WITHOUT materializing an (m, 64) bit matrix:
+        # np.add.reduceat along axis 0 of such a matrix strides the whole
+        # width per element and measured ~100x slower than this
+        # byte-histogram form. For each of the 8 bytes of the hash, one
+        # bincount over (doc_index * 256 + byte_value) gives a per-doc
+        # byte-value histogram; multiplying by the constant (256, 8)
+        # bit-table turns it into per-doc per-bit counts. Bit-identical to
+        # the unpackbits/reduceat formulation (pure integer counting).
+        byte_view = h_c.view(np.uint8).reshape(len(h_c), 8)
+        counts = np.empty((len(vd), 64), dtype=np.int64)
+        base = d_u * np.int64(256)
+        for bj in range(8):
+            hist = np.bincount(
+                base + byte_view[:, bj], minlength=len(vd) * 256
+            ).reshape(-1, 256)
+            counts[:, 8 * bj : 8 * bj + 8] = hist @ _BYTE_BIT_TABLE
         maj = (2 * counts > n_unique[:, None]).astype(np.uint8)
         vals = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
         out[vd[d_u[seg_starts]]] = vals.view(np.int64)
         i = j
     cap = 4 * chunk_windows
-    for name, mult in (("h", 1), ("t", 1), ("sim_bits", 64)):
+    for name in ("h", "t"):
         cur = _MINHASH_SCRATCH.get(name)
-        if cur is not None and len(cur) > cap * mult:
+        if cur is not None and len(cur) > cap:
             del _MINHASH_SCRATCH[name]
 
+
+#: (256, 8) little-endian bit table: _BYTE_BIT_TABLE[v, b] = bit b of byte v.
+#: Multiplying a per-doc byte histogram by it yields per-doc per-bit counts
+#: (the simhash majority accumulator).
+_BYTE_BIT_TABLE = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).astype(np.int64)
 
 _P64_1 = np.uint64(0x9E3779B185EBCA87)
 _P64_2 = np.uint64(0xC2B2AE3D27D4EB4F)
