@@ -161,11 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def latest_event_per_user(spark, sf):
         from pyspark.sql import Window
 
-        from frizbee_spark.runtime import ensure_min_partitions
-
-        # spread the (often single-row-group) events scan so the window's
-        # shuffle map side runs at full width; no-op for at-scale inputs
-        ev = ensure_min_partitions(spark.read.parquet(f"{sf}/events.parquet"))
+        # NOTE(r6): deliberately NOT spread via ensure_min_partitions — the
+        # window's own shuffle already redistributes, and the map side does
+        # no heavy per-row work; an extra round-robin exchange of the
+        # payload measured strictly worse (1.09s -> 1.81s median at sf1.0)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
         )

@@ -71,6 +71,8 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     Arabic / Cyrillic via codepoint classes, stopword hits for Latin langs.
     Intentionally simple and fully SQL-expressible; a real model slots in
     behind the same column contract."""
+    # four regexp_count passes per row: full width for unsplittable scans
+    df = ensure_min_partitions(df)
     text = F.col(text_col)
     has_cjk = F.regexp_count(text, F.lit(r"[一-鿿]")) > 0
     has_hangul = F.regexp_count(text, F.lit(r"[가-힯]")) > 0
