@@ -39,9 +39,10 @@ def exact_duplicates(
     """Exact duplicate groups via normalized-text fingerprint. Returns
     (fingerprint, canonical_id, n_dups) for groups with >1 member."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    # the normalize+hash projection is the map-side cost; run it at full
-    # width even when the input is one unsplittable file (no-op at scale)
-    df = ensure_min_partitions(df)
+    # NOTE(r6): deliberately NOT spread via ensure_min_partitions — the
+    # groupBy's own shuffle already redistributes, and A/B showed the extra
+    # round-robin exchange of the text payload buys nothing at sf1.0
+    # (1.26s -> 1.24s) while costing ~0.4s at sf0.1
     return (
         df.select(F.col(id_col), F.xxhash64(normalized).alias("fingerprint"))
         .groupBy("fingerprint")
