@@ -523,6 +523,15 @@ def verify_pairs(
         "a", "b", F.col("est").alias("jaccard"), F.lit(1.0).alias("sw_ratio")
     )
     middle = est.where((F.col("est") >= est_lo) & (F.col("est") < est_hi)).select("a", "b")
+    if not lazy_checkpoint and middle.isEmpty():
+        # data-adaptive short-circuit (est is already materialized, so the
+        # probe is one cheap scan): precision-oriented bandings make est
+        # bimodal and the boundary band often EMPTY — planning the text
+        # join + SW machinery for zero rows still costs ~5 scheduled
+        # stages per run. The lazy/throughput path skips the probe: there
+        # every extra driver action is serial cost by design, and its
+        # recall-oriented banding has a populated boundary band anyway.
+        return accepted_est
 
     def _exact_and_sw_batches(iterator):
         """Fused est-boundary verification: per batch, shingle-hash each
