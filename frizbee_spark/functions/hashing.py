@@ -193,10 +193,20 @@ def minhash_docs_stream(
     # dropped after the batch; the steady-state (<= chunk-sized) buffers
     # stay cached, which is all the first-touch-fault fix needs.
     cap = 4 * chunk_windows
-    for name in ("h", "t"):
+    for name in ("h", "t", "pack_h", "pack_t", "pack_i"):
         cur = _MINHASH_SCRATCH.get(name)
         if cur is not None and len(cur) > cap:
             del _MINHASH_SCRATCH[name]
+
+
+def _scratch_buf(name: str, size: int, dtype=np.uint64) -> np.ndarray:
+    """Power-of-two-capacity reusable scratch from `_MINHASH_SCRATCH`."""
+    cur = _MINHASH_SCRATCH.get(name)
+    if cur is None or len(cur) < size or cur.dtype != dtype:
+        cap = 1 << max(10, int(np.ceil(np.log2(max(1, size)))))
+        cur = np.empty(cap, dtype=dtype)
+        _MINHASH_SCRATCH[name] = cur
+    return cur
 
 
 def _pack_rolling_hashes(
@@ -210,32 +220,47 @@ def _pack_rolling_hashes(
     tmp: np.ndarray,
 ) -> None:
     """Rolling k-shingle hashes of each doc in `vd`, packed contiguously
-    into `hbuf` at `bounds` offsets (scratch `tmp` same length). Identical
-    arithmetic to `hash_shingles` (polynomial base + in-place splitmix64
-    finalizer); the per-doc loop only slices views — all arithmetic is
-    numpy over the doc's windows."""
+    into `hbuf` at `bounds` offsets. Identical arithmetic to
+    `hash_shingles` (polynomial base + in-place splitmix64 finalizer).
+
+    Vectorized across the chunk (round 6): the old per-doc slice loop was
+    interpreter-overhead-bound at ~300-char docs (~10 numpy calls on a
+    ~300-element view per doc). Now EVERY window of the chunk's contiguous
+    byte span is hashed in one pass — windows straddling doc boundaries
+    are computed too (a few % extra arithmetic) but never selected — and
+    one fancy-index gather packs the valid per-doc windows into `hbuf`.
+    A window hash is a pure function of its k bytes, so the result is
+    bit-identical to the per-doc form (pinned by the *_matches_serial
+    kernel tests)."""
     base = np.uint64(0x100000001B3)
+    lo = int(starts[vd[0]])
+    hi = int(starts[vd[-1]] + widths[vd[-1]]) + k - 1
+    span = data[lo:hi]
+    m_all = len(span) - k + 1
+    total = int(bounds[-1] + widths[vd[-1]])
+    acc = _scratch_buf("pack_h", m_all)[:m_all]
+    t2 = _scratch_buf("pack_t", m_all)[:m_all]
     with np.errstate(over="ignore"):
-        for t_idx, off in zip(vd, bounds):
-            s = int(starts[t_idx])
-            m = int(widths[t_idx])
-            seg = data[s : s + m + k - 1]
-            acc = hbuf[off : off + m]
-            acc.fill(0)
-            for kk in range(k):
-                acc *= base
-                acc += seg[kk : m + kk]
-            # splitmix64 finalizer in place (identical to splitmix64())
-            t2 = tmp[off : off + m]
-            acc += np.uint64(0x9E3779B97F4A7C15)
-            np.right_shift(acc, np.uint64(30), out=t2)
-            acc ^= t2
-            acc *= np.uint64(0xBF58476D1CE4E5B9)
-            np.right_shift(acc, np.uint64(27), out=t2)
-            acc ^= t2
-            acc *= np.uint64(0x94D049BB133111EB)
-            np.right_shift(acc, np.uint64(31), out=t2)
-            acc ^= t2
+        acc.fill(0)
+        for kk in range(k):
+            acc *= base
+            acc += span[kk : m_all + kk]
+        # splitmix64 finalizer in place (identical to splitmix64())
+        acc += np.uint64(0x9E3779B97F4A7C15)
+        np.right_shift(acc, np.uint64(30), out=t2)
+        acc ^= t2
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+        np.right_shift(acc, np.uint64(27), out=t2)
+        acc ^= t2
+        acc *= np.uint64(0x94D049BB133111EB)
+        np.right_shift(acc, np.uint64(31), out=t2)
+        acc ^= t2
+        # gather: packed position bounds[d] + j maps to span window
+        # (starts[d] - lo) + j
+        idx = _scratch_buf("pack_i", total, np.int64)[:total]
+        idx[:] = np.arange(total, dtype=np.int64)
+        idx += np.repeat((starts[vd] - lo) - bounds, widths[vd])
+        np.take(acc, idx, out=hbuf[:total])
 
 
 def simhash_docs_stream(
@@ -333,7 +358,7 @@ def simhash_docs_stream(
         out[vd[d_u[seg_starts]]] = vals.view(np.int64)
         i = j
     cap = 4 * chunk_windows
-    for name in ("h", "t"):
+    for name in ("h", "t", "pack_h", "pack_t", "pack_i"):
         cur = _MINHASH_SCRATCH.get(name)
         if cur is not None and len(cur) > cap:
             del _MINHASH_SCRATCH[name]
