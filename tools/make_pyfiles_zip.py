@@ -24,7 +24,8 @@ def build(out: Path) -> Path:
         for p in (REPO / "frizbee_spark").rglob("*.py")
         if "__pycache__" not in p.parts
     )
-    # ZIP_STORED + fixed timestamp: byte-reproducible artifact
+    # deflate + fixed timestamps: reproducible for a given zlib build
+    # (deflate output can differ across zlib versions — ADVICE r5)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for p in files:
             info = zipfile.ZipInfo(str(p.relative_to(REPO)), date_time=(2020, 1, 1, 0, 0, 0))
